@@ -1,0 +1,18 @@
+"""Batched DSP ops (JAX/XLA/Pallas) + numpy golden reference.
+
+Submodules:
+
+- ``reference``   numpy golden implementations of the librosa algorithms
+                  the reference repo calls (the parity oracle for tests).
+- ``stft``        batched STFT / iSTFT / RMS framing (XLA rFFT).
+- ``mel``         mel filterbank matmul + power_to_db.
+- ``hpss``        jnp HPSS (sliding medians + Wiener soft masks).
+- ``hpss_pallas`` fused single-pass Pallas TPU kernel for HPSS.
+- ``featuregram`` end-to-end featName dispatch (audio -> feature matrix).
+- ``patches``     sliding-window patch extraction + per-file scaling.
+- ``silence``     RMS silence removal (host-side segment logic).
+- ``mixing``      SMR-controlled speech+music mixing.
+- ``stats``       per-patch moment statistics (skew/kurtosis vectors).
+"""
+
+from . import featuregram, hpss, mel, mixing, patches, reference, silence, stats, stft  # noqa: F401

@@ -1,0 +1,133 @@
+"""End-to-end featuregram computation: audio -> (D, T) feature matrix.
+
+Replaces the featName dispatch of the reference's
+``lib/preprocessing.py:get_featuregram`` (:355-457) with one jitted,
+batched pipeline per feature name.  The whole chain — framing, rFFT, HPSS
+medians + masks, mel matmul, log scaling — compiles to a single XLA
+program, so a batch of files is one HBM round trip instead of the
+reference's per-file librosa calls.
+
+Feature names match the reference exactly
+(``/root/reference/Proposed_Work_Results.py:750-757``):
+
+===================  =====================================================
+featName             output (rows x frames)
+===================  =====================================================
+Spec                 |STFT|                                  (F, T)
+LogSpec              power_to_db(|STFT|^2)                   (F, T)
+MelSpec              mel-power spectrogram (sr=fs)           (n_mels, T)
+LogMelSpec           power_to_db(MelSpec^2)                  (n_mels, T)
+HarmSpec/PercSpec    HPSS component magnitude                (F, T)
+HarmPercSpec         [H; P] stacked on the freq axis         (2F, T)
+Log{Harm,Perc,HP}    power_to_db(component^2)                (F or 2F, T)
+Mel{Harm,Perc,HP}    mel(S=component)  [sr=22050 quirk]      (n_mels.., T)
+LogMel{Harm,Perc,…}  power_to_db(mel(component)^2)           (n_mels.., T)
+===================  =====================================================
+
+The "sr=22050 quirk": the reference builds the mel bank for HPSS branches
+with librosa's default sampling rate instead of 16 kHz (see
+``ops.reference.melspectrogram_from_S``).  Replicated here for parity.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import hpss as hpss_mod
+from . import mel as mel_mod
+from . import stft as stft_mod
+
+#: Feature names supported, mirroring the reference's featName values.
+FEATURE_NAMES = (
+    "Spec", "LogSpec", "MelSpec", "LogMelSpec",
+    "HarmSpec", "PercSpec", "HarmPercSpec",
+    "LogHarmSpec", "LogPercSpec", "LogHarmPercSpec",
+    "MelHarmSpec", "MelPercSpec", "MelHarmPercSpec",
+    "LogMelHarmSpec", "LogMelPercSpec", "LogMelHarmPercSpec",
+)
+
+#: librosa's default sr, used by the reference for mel banks over HPSS output.
+_MEL_SR_QUIRK = 22050
+
+
+def _parse(feat_name: str):
+    """Split a featName into (log, mel, harm, perc) flags."""
+    if feat_name not in FEATURE_NAMES:
+        raise ValueError(f"unknown featName {feat_name!r}")
+    name = feat_name
+    log = name.startswith("Log")
+    if log:
+        name = name[len("Log"):]
+    mel = name.startswith("Mel")
+    if mel:
+        name = name[len("Mel"):]
+    harm = name.startswith("HarmPerc") or name.startswith("Harm")
+    perc = "Perc" in name
+    return log, mel, harm, perc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("feat_name", "sr", "n_fft", "win_length", "hop_length",
+                     "n_mels", "l_harm", "l_perc", "use_pallas"))
+def featuregram(y: jax.Array, *, feat_name: str, sr: int = 16000,
+                n_fft: int = 400, win_length: int = 400, hop_length: int = 160,
+                n_mels: int = 120, l_harm: int = 21, l_perc: int = 11,
+                use_pallas: bool = False) -> jax.Array:
+    """Compute the featuregram for audio ``(..., n_samples)`` ->
+    ``(..., D, T)``.
+
+    ``use_pallas`` switches the HPSS median+mask stage to the fused Pallas
+    TPU kernel (``ops.hpss_pallas``); the default jnp path is used for CPU
+    tests and as the correctness oracle.
+    """
+    log, mel, harm, perc = _parse(feat_name)
+
+    if not (harm or perc):
+        if mel:
+            # MelSpec / LogMelSpec: mel-power spectrogram at the true sr.
+            S = stft_mod.stft_mag(y, n_fft=n_fft, win_length=win_length,
+                                  hop_length=hop_length) ** 2
+            fv = mel_mod.apply_mel(S, sr=sr, n_mels=n_mels)
+        else:
+            fv = stft_mod.stft_mag(y, n_fft=n_fft, win_length=win_length,
+                                   hop_length=hop_length)
+        if log:
+            fv = mel_mod.power_to_db(fv ** 2)
+        return fv.astype(jnp.float32)
+
+    # HPSS branches.
+    S = stft_mod.stft_mag(y, n_fft=n_fft, win_length=win_length,
+                          hop_length=hop_length)
+    if use_pallas:
+        from . import hpss_pallas
+        H, P = hpss_pallas.hpss(S, l_harm=l_harm, l_perc=l_perc)
+    else:
+        H, P = hpss_mod.hpss(S, l_harm=l_harm, l_perc=l_perc)
+
+    def _post(component):
+        fv = component
+        if mel:
+            fv = mel_mod.apply_mel(fv, sr=_MEL_SR_QUIRK, n_mels=n_mels)
+        if log:
+            # power_to_db(fv**2): the reference squares the (already
+            # magnitude-domain) feature before the dB map.
+            fv = mel_mod.power_to_db(fv ** 2)
+        return fv.astype(jnp.float32)
+
+    parts = []
+    if harm:
+        parts.append(_post(H))
+    if perc:
+        parts.append(_post(P))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-2)
+
+
+def feature_dim(feat_name: str, *, n_fft: int = 400, n_mels: int = 120) -> int:
+    """Number of feature rows D for a featName (static shape helper)."""
+    log, mel, harm, perc = _parse(feat_name)
+    base = n_mels if mel else 1 + n_fft // 2
+    return base * (2 if (harm and perc) else 1)

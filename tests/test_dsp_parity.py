@@ -1,0 +1,207 @@
+"""Parity tests: JAX device ops vs the numpy golden reference.
+
+The golden (``ops.reference``) re-implements the librosa algorithms the
+reference repo calls; the BASELINE.json fidelity bar is <1e-3 relative
+mask error, which these tests enforce (and considerably tighter for the
+linear ops).
+"""
+
+import numpy as np
+import pytest
+import scipy.signal
+
+import jax.numpy as jnp
+
+from sm_hpss_mtl_tpu.ops import featuregram as fg
+from sm_hpss_mtl_tpu.ops import hpss as jhpss
+from sm_hpss_mtl_tpu.ops import mel as jmel
+from sm_hpss_mtl_tpu.ops import reference as ref
+from sm_hpss_mtl_tpu.ops import stft as jstft
+
+FS = 16000
+N_FFT, WIN, HOP = 400, 400, 160
+
+
+# ---------------------------------------------------------------------------
+# Golden self-checks (structural identities)
+# ---------------------------------------------------------------------------
+
+def test_hann_window_matches_scipy():
+    w = ref.hann_window(400)
+    ws = scipy.signal.get_window("hann", 400, fftbins=True)
+    np.testing.assert_allclose(w, ws, atol=1e-12)
+
+
+def test_mel_filterbank_structure():
+    M = ref.mel_filterbank(FS, N_FFT, 120)
+    assert M.shape == (120, 201)
+    assert np.all(M >= 0)
+    # Every filter has support and peaks inside the band.
+    assert np.all(M.max(axis=1) > 0)
+    # Slaney normalization: area under each triangle ~ 2/bandwidth.
+    mel_f = ref.mel_frequencies(122, 0, FS / 2)
+    enorm = 2.0 / (mel_f[2:] - mel_f[:-2])
+    peaks = M.max(axis=1)
+    assert np.all(peaks <= enorm * 1.0000001)
+
+
+def test_golden_istft_roundtrip(audio_1s):
+    S = ref.stft(audio_1s, N_FFT, WIN, HOP)
+    y = ref.istft(S, N_FFT, WIN, HOP, length=len(audio_1s))
+    # center=False: edges lack full overlap; compare the interior.
+    err = np.abs(y[N_FFT:-N_FFT] - audio_1s[N_FFT:-N_FFT])
+    assert np.max(err) < 1e-6
+
+
+def test_golden_hpss_mask_partition(audio_1s):
+    S = ref.stft_mag(audio_1s, N_FFT, WIN, HOP)
+    mh, mp = ref.hpss_masks(S, 21, 11)
+    nz = S > 1e-8
+    np.testing.assert_allclose((mh + mp)[nz], 1.0, atol=1e-5)
+    assert np.all(mh >= 0) and np.all(mh <= 1)
+
+
+def test_golden_hpss_separates_tones_from_clicks(audio_1s):
+    S = ref.stft_mag(audio_1s, N_FFT, WIN, HOP)
+    H, P = ref.hpss(S, 21, 11)
+    f = np.linspace(0, FS / 2, S.shape[0])
+    tone_bin = np.argmin(np.abs(f - 440))
+    # The 440 Hz row should be predominantly harmonic.
+    assert H[tone_bin].sum() > 3 * P[tone_bin].sum()
+
+
+# ---------------------------------------------------------------------------
+# JAX vs golden
+# ---------------------------------------------------------------------------
+
+def test_stft_parity(audio_1s):
+    got = np.asarray(jstft.stft_mag(jnp.asarray(audio_1s),
+                                    n_fft=N_FFT, win_length=WIN, hop_length=HOP))
+    want = ref.stft_mag(audio_1s, N_FFT, WIN, HOP)
+    assert got.shape == want.shape == (201, 1 + (FS - N_FFT) // HOP)
+    np.testing.assert_allclose(got, want.astype(np.float32), rtol=2e-4, atol=2e-4)
+
+
+def test_stft_batched_matches_single(audio_1s):
+    batch = np.stack([audio_1s, audio_1s[::-1]])
+    got = np.asarray(jstft.stft_mag(jnp.asarray(batch),
+                                    n_fft=N_FFT, win_length=WIN, hop_length=HOP))
+    single = np.asarray(jstft.stft_mag(jnp.asarray(audio_1s[::-1].copy()),
+                                       n_fft=N_FFT, win_length=WIN, hop_length=HOP))
+    np.testing.assert_allclose(got[1], single, atol=1e-6)
+
+
+def test_jang_geometry_stft(audio_1s):
+    # Jang model: n_fft=512 with win_length=400 (window zero-padded).
+    got = np.asarray(jstft.stft_mag(jnp.asarray(audio_1s),
+                                    n_fft=512, win_length=400, hop_length=HOP))
+    want = ref.stft_mag(audio_1s, 512, 400, HOP)
+    assert got.shape[0] == 257
+    np.testing.assert_allclose(got, want.astype(np.float32), rtol=2e-4, atol=2e-4)
+
+
+def test_istft_parity_and_roundtrip(audio_1s):
+    S = jstft.stft(jnp.asarray(audio_1s), n_fft=N_FFT, win_length=WIN, hop_length=HOP)
+    y = np.asarray(jstft.istft(S, n_fft=N_FFT, win_length=WIN, hop_length=HOP,
+                               length=len(audio_1s)))
+    err = np.abs(y[N_FFT:-N_FFT] - audio_1s[N_FFT:-N_FFT])
+    assert np.max(err) < 1e-4
+
+
+def test_rms_parity(audio_1s):
+    got = np.asarray(jstft.rms_energy(jnp.asarray(audio_1s),
+                                      frame_length=400, hop_length=160))
+    want = ref.rms_energy(audio_1s, 400, 160)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_mel_apply_parity(audio_1s):
+    S = ref.stft_mag(audio_1s, N_FFT, WIN, HOP).astype(np.float32)
+    got = np.asarray(jmel.apply_mel(jnp.asarray(S), sr=FS, n_mels=120))
+    want = ref.mel_filterbank(FS, N_FFT, 120) @ S
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_power_to_db_parity(audio_1s):
+    S = ref.stft_mag(audio_1s, N_FFT, WIN, HOP).astype(np.float32) ** 2
+    got = np.asarray(jmel.power_to_db(jnp.asarray(S)))
+    want = ref.power_to_db(S)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_power_to_db_clamp_is_per_item():
+    a = np.stack([np.full((4, 4), 1.0), np.full((4, 4), 1e-9)]).astype(np.float32)
+    a[1, 0, 0] = 1e3
+    out = np.asarray(jmel.power_to_db(jnp.asarray(a)))
+    # Item 0 is flat -> all zeros; item 1 clamps to max-80.
+    np.testing.assert_allclose(out[0], 0.0, atol=1e-5)
+    assert np.isclose(out[1].max(), 30.0, atol=1e-4)
+    np.testing.assert_allclose(out[1].min(), -50.0, atol=1e-3)
+
+
+def test_hpss_mask_fidelity(audio_1s):
+    """The BASELINE.json bar: <1e-3 relative mask error vs the golden."""
+    S = ref.stft_mag(audio_1s, N_FFT, WIN, HOP).astype(np.float32)
+    mh, mp = jhpss.hpss_masks(jnp.asarray(S), l_harm=21, l_perc=11)
+    gh, gp = ref.hpss_masks(S, 21, 11)
+    rel = np.abs(np.asarray(mh) - gh) / (np.abs(gh) + 1e-3)
+    assert np.max(rel) < 1e-3
+    rel = np.abs(np.asarray(mp) - gp) / (np.abs(gp) + 1e-3)
+    assert np.max(rel) < 1e-3
+
+
+def test_hpss_components_parity(audio_1s):
+    S = ref.stft_mag(audio_1s, N_FFT, WIN, HOP).astype(np.float32)
+    H, P = jhpss.hpss(jnp.asarray(S), l_harm=21, l_perc=11)
+    gH, gP = ref.hpss(S, 21, 11)
+    np.testing.assert_allclose(np.asarray(H), gH, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(P), gP, rtol=1e-3, atol=1e-4)
+
+
+def test_hpss_batched(audio_1s):
+    S = ref.stft_mag(audio_1s, N_FFT, WIN, HOP).astype(np.float32)
+    batch = np.stack([S, S * 2.0])
+    H, P = jhpss.hpss(jnp.asarray(batch), l_harm=21, l_perc=11)
+    H0, P0 = jhpss.hpss(jnp.asarray(S), l_harm=21, l_perc=11)
+    np.testing.assert_allclose(np.asarray(H)[0], np.asarray(H0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(P)[1], 2 * np.asarray(P0), rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Featuregram end-to-end
+# ---------------------------------------------------------------------------
+
+def _golden_featuregram(y, feat_name, n_mels=120):
+    if feat_name == "LogMelSpec":
+        fv = ref.melspectrogram_from_audio(y, FS, N_FFT, WIN, HOP, n_mels)
+        return ref.power_to_db(fv ** 2)
+    if feat_name == "LogMelHarmPercSpec":
+        S = ref.stft_mag(y, N_FFT, WIN, HOP)
+        H, P = ref.hpss(S, 21, 11)
+        fH = ref.power_to_db(ref.melspectrogram_from_S(H, n_mels) ** 2)
+        fP = ref.power_to_db(ref.melspectrogram_from_S(P, n_mels) ** 2)
+        return np.concatenate([fH, fP], axis=0)
+    if feat_name == "HarmPercSpec":
+        S = ref.stft_mag(y, N_FFT, WIN, HOP)
+        H, P = ref.hpss(S, 21, 11)
+        return np.concatenate([H, P], axis=0)
+    raise ValueError(feat_name)
+
+
+@pytest.mark.parametrize("feat_name", ["LogMelSpec", "HarmPercSpec",
+                                       "LogMelHarmPercSpec"])
+def test_featuregram_parity(audio_1s, feat_name):
+    got = np.asarray(fg.featuregram(jnp.asarray(audio_1s), feat_name=feat_name))
+    want = _golden_featuregram(np.asarray(audio_1s, dtype=np.float64), feat_name)
+    assert got.shape == want.shape
+    assert got.shape[0] == fg.feature_dim(feat_name)
+    np.testing.assert_allclose(got, want.astype(np.float32), rtol=2e-3, atol=2e-2)
+
+
+def test_featuregram_all_names_shapes(audio_1s):
+    y = jnp.asarray(audio_1s)
+    for name in fg.FEATURE_NAMES:
+        out = fg.featuregram(y, feat_name=name)
+        assert out.shape[0] == fg.feature_dim(name), name
+        assert np.all(np.isfinite(np.asarray(out))), name
