@@ -1,0 +1,113 @@
+"""Doukhan (MIREX 2018) and Papakostas (ESwA 2018) CNN baselines and
+their MTL variants.
+
+Mirrors ``get_Doukhan_model`` / ``get_Papakostas_model``
+(``/root/reference/lib/baseline_architectures.py:43-122,128-191``) and
+``get_Doukhan_MTL_model`` / ``get_Papakostas_MTL_model``
+(``lib/proposed_architectures.py:425-511,516-588``).
+
+Inputs are NHWC: ``(B, n_freq_rows, patch_size, 1)``; Doukhan expects
+mel rows (21 baseline / 120(x2) MTL), Papakostas raw spectrogram rows
+(201 baseline / 402 MTL HarmPerc).
+
+LRN (Papakostas) is ``tf.nn.local_response_normalization`` semantics:
+``x / (bias + alpha * sum_win x^2)^beta`` over an 11-channel window —
+implemented as an avg-pool over the channel axis so XLA fuses it.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .heads import BN_KW, MTLHeads
+
+
+def local_response_normalization(x, depth_radius: int = 5, bias: float = 1.0,
+                                 alpha: float = 1e-4, beta: float = 0.75):
+    """TF-semantics LRN over the channel (last) axis."""
+    sq = x ** 2
+    # Sum over a window of 2r+1 channels, zero-padded.
+    pad = [(0, 0)] * (x.ndim - 1) + [(depth_radius, depth_radius)]
+    sq = jnp.pad(sq, pad)
+    win = 2 * depth_radius + 1
+    # Cumulative-sum sliding window: O(C) instead of O(C*win).
+    cs = jnp.cumsum(sq, axis=-1)
+    zeros = jnp.zeros_like(cs[..., :1])
+    cs = jnp.concatenate([zeros, cs], axis=-1)
+    summed = cs[..., win:] - cs[..., :-win]
+    return x / (bias + alpha * summed) ** beta
+
+
+class _ConvBNRelu(nn.Module):
+    features: int
+    kernel: tuple
+    strides: tuple = (1, 1)
+    padding: str = "VALID"
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        x = nn.Conv(self.features, self.kernel, strides=self.strides,
+                    padding=self.padding, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, name="bn", **BN_KW)(x)
+        return nn.relu(x)
+
+
+class _DenseBNReluDrop(nn.Module):
+    features: int
+    dropout: float
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        x = nn.Dense(self.features, name="dense")(x)
+        x = nn.BatchNorm(use_running_average=not train, name="bn", **BN_KW)(x)
+        x = nn.relu(x)
+        return nn.Dropout(self.dropout, deterministic=not train)(x)
+
+
+class DoukhanCNN(nn.Module):
+    """4 conv + 4x Dense-512 trunk; ``mtl=False`` -> softmax only."""
+    n_classes: int = 3
+    mtl: bool = False
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        x = _ConvBNRelu(64, (4, 5), name="c1")(x, train=train)
+        x = nn.max_pool(x, (2, 2), strides=(2, 2), padding="VALID")
+        x = _ConvBNRelu(128, (3, 3), name="c2")(x, train=train)
+        x = _ConvBNRelu(128, (3, 3), name="c3")(x, train=train)
+        x = nn.max_pool(x, (2, 2), strides=(2, 2), padding="SAME")
+        x = _ConvBNRelu(256, (3, 3), name="c4")(x, train=train)
+        x = nn.max_pool(x, (1, 12), strides=(1, 12), padding="VALID")
+        x = x.reshape((x.shape[0], -1))
+        for i, rate in enumerate([0.2, 0.3, 0.4, 0.5]):
+            x = _DenseBNReluDrop(512, rate, name=f"fc{i + 1}")(x, train=train)
+        if self.mtl:
+            return MTLHeads(n_classes=self.n_classes, name="heads")(x, train=train)
+        return nn.softmax(nn.Dense(self.n_classes, name="out")(x))
+
+
+class PapakostasCNN(nn.Module):
+    """AlexNet-style CNN with LRN; ``mtl=False`` -> softmax only."""
+    n_classes: int = 3
+    mtl: bool = False
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        x = nn.Conv(96, (5, 5), strides=(2, 2), padding="VALID", name="c1")(x)
+        x = local_response_normalization(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = nn.Conv(384, (3, 3), strides=(2, 2), padding="VALID", name="c2")(x)
+        x = local_response_normalization(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = nn.Conv(512, (3, 3), strides=(1, 1), padding="SAME", name="c3")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = x.reshape((x.shape[0], -1))
+        x = _DenseBNReluDrop(4096, 0.5, name="fc1")(x, train=train)
+        x = _DenseBNReluDrop(4096, 0.5, name="fc2")(x, train=train)
+        if self.mtl:
+            return MTLHeads(n_classes=self.n_classes, name="heads")(x, train=train)
+        return nn.softmax(nn.Dense(self.n_classes, name="out")(x))

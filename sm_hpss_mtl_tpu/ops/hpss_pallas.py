@@ -1,0 +1,246 @@
+"""Fused HPSS Pallas kernel for TPU.
+
+One kernel fuses the whole HPSS inner loop of
+``librosa.decompose.hpss(S, kernel_size=(l_harm, l_perc))``
+(``/root/reference/lib/preprocessing.py:408,418``): the width-``l_harm``
+sliding median across time, the width-``l_perc`` sliding median across
+frequency, the Wiener soft masks (power=2), and the mask application —
+a single HBM read of the spectrogram tile and a single write of each
+output, instead of four separate passes (two median filters, two mask
+ops) through memory.
+
+Design:
+
+- **Tiling**: the (B, F, T) spectrogram batch is cut into
+  ``(F + l_perc - 1, TILE_T + l_harm - 1)`` halo'd time tiles on the XLA
+  side (symmetric padding at true edges, matching scipy's
+  ``mode='reflect'``).  Materializing the overlapped tiles costs a few
+  percent of HBM but lets the Pallas runtime pipeline HBM→VMEM block
+  fetches automatically (double-buffered), with no manual DMA.
+- **Median**: there is no native median op.  Each sliding median is a
+  *selection network* — a Batcher odd-even mergesort network over the
+  ``k`` shifted window slices, dead-code-eliminated down to the single
+  median output wire.  Every compare-exchange is a vectorized
+  ``minimum``/``maximum`` over an (F, TILE_T) tile on the VPU, so the
+  whole median is ~2·|network| elementwise tile ops and no data-dependent
+  control flow.  For (21, 11) the pruned networks are ~80/~30
+  comparators.  Tile width defaults to 364 (halo'd width 384, a lane
+  multiple), the fastest point in a measured sweep on v5e.
+- **Masks**: computed in f32 with librosa's ``softmask`` semantics
+  (normalize by ``Z = max(h, p)``, both-zero positions → 0).
+
+The jnp implementation in ``ops.hpss`` is the correctness oracle; on
+non-TPU backends this module falls back to it (Pallas interpret mode is
+exercised separately in tests).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_F32_TINY = float(np.finfo(np.float32).tiny)
+
+
+# ---------------------------------------------------------------------------
+# Selection networks
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def batcher_pairs(n: int) -> tuple[tuple[int, int], ...]:
+    """Batcher odd-even mergesort comparator network for ``n`` wires."""
+    pairs = []
+    p = 1
+    while p < n:
+        k = p
+        while k >= 1:
+            for j in range(k % p, n - k, 2 * k):
+                for i in range(0, min(k, n - j - k)):
+                    if (i + j) // (2 * p) == (i + j + k) // (2 * p):
+                        pairs.append((i + j, i + j + k))
+            k //= 2
+        p *= 2
+    return tuple(pairs)
+
+
+@functools.lru_cache(maxsize=None)
+def median_network(n: int) -> tuple[tuple[int, int], ...]:
+    """Comparators needed to place the median on wire ``n//2``:
+    the full sort network pruned backward from that single output."""
+    target = n // 2
+    needed = {target}
+    kept = []
+    for i, j in reversed(batcher_pairs(n)):
+        if i in needed or j in needed:
+            kept.append((i, j))
+            needed.add(i)
+            needed.add(j)
+    return tuple(reversed(kept))
+
+
+def _apply_median_network(values: list, n: int):
+    """Run the pruned network over a list of traced arrays; returns the
+    median wire.  Each comparator is one min and one max on the VPU."""
+    v = list(values)
+    for i, j in median_network(n):
+        lo = jnp.minimum(v[i], v[j])
+        hi = jnp.maximum(v[i], v[j])
+        v[i], v[j] = lo, hi
+    return v[n // 2]
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+def _hpss_kernel(s_ref, h_ref, p_ref, *, F, TILE_T, l_harm, l_perc,
+                 power, mask_only):
+    ht = l_harm // 2
+    hp = l_perc // 2
+    tile = s_ref[0, 0]                       # (F + 2*hp, TILE_T + 2*ht)
+
+    # Harmonic: median over l_harm time shifts of the un-freq-padded rows.
+    rows = tile[hp:hp + F, :]
+    harm = _apply_median_network(
+        [rows[:, k:k + TILE_T] for k in range(l_harm)], l_harm)
+
+    # Percussive: median over l_perc frequency shifts of the un-time-padded
+    # columns.
+    cols = tile[:, ht:ht + TILE_T]
+    perc = _apply_median_network(
+        [cols[k:k + F, :] for k in range(l_perc)], l_perc)
+
+    # Wiener soft masks, librosa softmask semantics (power=2, zeros -> 0).
+    z = jnp.maximum(harm, perc)
+    bad = z < _F32_TINY
+    zn = jnp.where(bad, 1.0, z)
+    hn = (harm / zn) ** power
+    pn = (perc / zn) ** power
+    denom = jnp.where(bad, 1.0, hn + pn)
+    mask_h = jnp.where(bad, 0.0, hn / denom)
+    mask_p = jnp.where(bad, 0.0, pn / denom)
+
+    if mask_only:
+        h_ref[0, 0] = mask_h
+        p_ref[0, 0] = mask_p
+    else:
+        s_center = tile[hp:hp + F, ht:ht + TILE_T]
+        h_ref[0, 0] = s_center * mask_h
+        p_ref[0, 0] = s_center * mask_p
+
+
+def _pad_and_tile(S: jax.Array, l_harm: int, l_perc: int, tile_t: int):
+    """Symmetric-pad (B, F, T) and gather overlapped halo'd time tiles ->
+    (B, nT, F + l_perc - 1, tile_t + l_harm - 1)."""
+    B, F, T = S.shape
+    ht, hp = l_harm // 2, l_perc // 2
+    nT = -(-T // tile_t)
+    Tp = nT * tile_t
+
+    Sp = jnp.pad(S, ((0, 0), (hp, hp), (ht, ht)), mode="symmetric")
+    extra = Tp - T
+    if extra:
+        # Frames past T are sliced away from the output; edge-pad is fine.
+        Sp = jnp.pad(Sp, ((0, 0), (0, 0), (0, extra)), mode="edge")
+
+    idx = (np.arange(nT)[:, None] * tile_t
+           + np.arange(tile_t + 2 * ht)[None, :])        # (nT, W)
+    tiles = Sp[:, :, idx]                                # (B, F+2hp, nT, W)
+    return jnp.moveaxis(tiles, 2, 1), nT                 # (B, nT, F+2hp, W)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("l_harm", "l_perc", "power", "mask_only", "tile_t",
+                     "interpret"))
+def _hpss_pallas(S: jax.Array, *, l_harm: int, l_perc: int,
+                 power: float, mask_only: bool, tile_t: int,
+                 interpret: bool = False):
+    B, F, T = S.shape
+    S = S.astype(jnp.float32)
+    tiles, nT = _pad_and_tile(S, l_harm, l_perc, tile_t)
+    W = tile_t + 2 * (l_harm // 2)
+    Fp = F + 2 * (l_perc // 2)
+
+    kernel = functools.partial(
+        _hpss_kernel, F=F, TILE_T=tile_t, l_harm=l_harm, l_perc=l_perc,
+        power=power, mask_only=mask_only)
+
+    out_shape = jax.ShapeDtypeStruct((B, nT, F, tile_t), jnp.float32)
+    grid = (B, nT)
+    in_spec = pl.BlockSpec((1, 1, Fp, W), lambda b, t: (b, t, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 1, F, tile_t), lambda b, t: (b, t, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    flops_per_tile = (len(median_network(l_harm)) + len(median_network(l_perc))
+                      + 12) * F * tile_t * 2
+    H, P = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(out_shape, out_shape),
+        in_specs=[in_spec],
+        out_specs=(out_spec, out_spec),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_tile * B * nT,
+            bytes_accessed=(Fp * W + 2 * F * tile_t) * 4 * B * nT,
+            transcendentals=0),
+        interpret=interpret,
+    )(tiles)
+
+    def _untile(X):
+        X = jnp.moveaxis(X, 1, 2).reshape(B, F, nT * tile_t)
+        return X[:, :, :T]
+
+    return _untile(H), _untile(P)
+
+
+def _dispatch(S, l_harm, l_perc, power, mask_only, tile_t, interpret):
+    squeeze = S.ndim == 2
+    if squeeze:
+        S = S[None]
+    if S.ndim != 3:
+        lead = S.shape[:-2]
+        S = S.reshape((-1,) + S.shape[-2:])
+    else:
+        lead = None
+
+    backend = jax.default_backend()
+    if backend != "tpu" and not interpret:
+        # Non-TPU: fall back to the jnp oracle (same semantics).
+        from . import hpss as hpss_jnp
+        if mask_only:
+            out = hpss_jnp.hpss_masks(S, l_harm=l_harm, l_perc=l_perc, power=power)
+        else:
+            out = hpss_jnp.hpss(S, l_harm=l_harm, l_perc=l_perc, power=power)
+    else:
+        tile_t = min(tile_t, max(128, 8 * -(-S.shape[-1] // 8)))
+        out = _hpss_pallas(S, l_harm=l_harm, l_perc=l_perc, power=power,
+                           mask_only=mask_only, tile_t=tile_t,
+                           interpret=interpret)
+    H, P = out
+    if lead is not None:
+        H = H.reshape(lead + H.shape[-2:])
+        P = P.reshape(lead + P.shape[-2:])
+    if squeeze:
+        H, P = H[0], P[0]
+    return H, P
+
+
+def hpss(S: jax.Array, *, l_harm: int = 21, l_perc: int = 11,
+         power: float = 2.0, tile_t: int = 364,
+         interpret: bool = False) -> tuple[jax.Array, jax.Array]:
+    """Fused-kernel HPSS: ``(..., F, T)`` magnitudes -> ``(H, P)``."""
+    return _dispatch(S, l_harm, l_perc, power, False, tile_t, interpret)
+
+
+def hpss_masks(S: jax.Array, *, l_harm: int = 21, l_perc: int = 11,
+               power: float = 2.0, tile_t: int = 364,
+               interpret: bool = False) -> tuple[jax.Array, jax.Array]:
+    """Fused-kernel HPSS soft masks: ``(..., F, T)`` -> ``(mask_h, mask_p)``."""
+    return _dispatch(S, l_harm, l_perc, power, True, tile_t, interpret)

@@ -1,0 +1,5 @@
+"""Training harness: losses, optimizers, train state/steps, fit loop."""
+
+from .losses import mtl_loss  # noqa: F401
+from .optimizers import for_model  # noqa: F401
+from .state import TrainState, make_eval_step, make_predict, make_train_step  # noqa: F401
