@@ -1,0 +1,229 @@
+"""Class-balanced infinite batch stream with MTL label construction.
+
+Semantics follow the reference's ``generator``
+(``/root/reference/Proposed_Work_Results.py:49-270``):
+
+- Per class, files are shuffled and consumed; the list refills (and
+  reshuffles) when exhausted.  Every file contributes *all* its patches;
+  leftovers beyond the per-class quota are carried to later batches.
+- Each batch stacks ``batch_size`` patches per class in the order
+  music(0), speech(1)[, speech_music(2)] — so the effective batch is
+  ``n_classes * batch_size``.
+- Label encodings (:170-262): S=1 for speech only, M=1 for music only —
+  the mixture class gets 0 on both (driver quirk, replicated);
+  R = [music_ratio, speech_ratio] with music [1,0], speech [0,1] and
+  mixtures [10^(-dB/10), 1] (dB>=0) / [1, 10^(dB/10)] (dB<0);
+  3C = one-hot class.
+- Optional Gaussian noise augmentation with scale drawn from
+  {5e-3, 1e-3, 5e-4, 1e-4} (:239-242), optional frame-level scaling with
+  per-fold corpus stats, optional skewness-vector features (:97-113).
+- TCN-family models receive (N, T, D) patches; CNN models (N, D, W, 1).
+
+Unlike the reference's ``np.append`` accumulation (quadratic copying,
+SURVEY.md §3.1), buffers are lists of arrays concatenated once per
+assembly.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..ops.patches import extract_patches_np, standardize_rows
+from .featurize import Featurizer
+
+_NOISE_SCALES = (5e-3, 1e-3, 5e-4, 1e-4)
+
+
+def scale_frames(fv: np.ndarray, mean: np.ndarray, stdev: np.ndarray) -> np.ndarray:
+    """Frame-level corpus scaling (``tools.pyx:138-166``):
+    ``(FV - mean) / (stdev + 1e-10)`` with per-row stats."""
+    return (fv - mean[:, None]) / (stdev[:, None] + 1e-10)
+
+
+@dataclass
+class BatcherConfig:
+    batch_size: int = 16
+    patch_size: int = 68
+    patch_shift: int = 68
+    feat_name: str = "LogMelHarmPercSpec"
+    #: 'time_mel' (TCN) or 'image' (CNNs) patch layout.
+    input_kind: str = "time_mel"
+    augment_noise: bool = True
+    frame_level_scaling: bool = False
+    #: None | 'Row' | 'Col'
+    skewness_vector: str | None = None
+    seed: int = 0
+
+
+class _ClassStream:
+    """One class's file queue + leftover patch buffer."""
+
+    def __init__(self, items: list, rng: np.random.Generator):
+        self.items = list(items)
+        self.queue: list = []
+        self.rng = rng
+        self.buf: list[np.ndarray] = []
+        self.dbs: list[np.ndarray] = []
+        self.count = 0
+
+    def next_item(self):
+        if not self.queue:
+            self.queue = list(self.items)
+            self.rng.shuffle(self.queue)
+        return self.queue.pop()
+
+    def push(self, patches: np.ndarray, db=None):
+        self.buf.append(patches)
+        n = patches.shape[0]
+        self.dbs.append(np.full((n,), np.nan if db is None else db))
+        self.count += n
+
+    def take(self, n: int):
+        data = np.concatenate(self.buf, axis=0)
+        dbs = np.concatenate(self.dbs, axis=0)
+        out, out_db = data[:n], dbs[:n]
+        rest, rest_db = data[n:], dbs[n:]
+        self.buf = [rest] if rest.size else []
+        self.dbs = [rest_db] if rest_db.size else []
+        self.count -= n
+        return out, out_db
+
+
+class BalancedBatcher:
+    """Infinite iterator over class-balanced batches.
+
+    ``file_list`` is the fold dict from ``folds.get_train_test_files``:
+    {'music': [...], 'speech': [...], 'speech+music': [{'speech','music',
+    'SMR'}, ...]}; the mixture key is optional (2-class mode).
+    """
+
+    def __init__(self, featurizer: Featurizer, folder: str, file_list: dict,
+                 config: BatcherConfig, fold_stats: tuple | None = None):
+        self.fz = featurizer
+        self.folder = folder
+        self.cfg = config
+        self.fold_stats = fold_stats
+        self.rng = np.random.default_rng(config.seed)
+        self.n_classes = 3 if "speech+music" in file_list else 2
+        self.streams = {
+            "music": _ClassStream(file_list["music"], self.rng),
+            "speech": _ClassStream(file_list["speech"], self.rng),
+        }
+        if self.n_classes == 3:
+            self.streams["speech_music"] = _ClassStream(
+                file_list["speech+music"], self.rng)
+
+    # -- featurization ----------------------------------------------------
+    def _patches_for(self, classname: str, item):
+        if classname == "speech_music":
+            sp = os.path.join(self.folder, "speech", item["speech"])
+            mu = os.path.join(self.folder, "music", item["music"])
+            if not (os.path.exists(sp) and os.path.exists(mu)):
+                return None, None
+            fv = self.fz.featuregram("speech_music", sp, mu, item["SMR"])
+            db = item["SMR"]
+        elif classname == "speech":
+            sp = os.path.join(self.folder, "speech", item)
+            if not os.path.exists(sp):
+                return None, None
+            fv = self.fz.featuregram("speech", sp_path=sp)
+            db = None
+        else:
+            mu = os.path.join(self.folder, "music", item)
+            if not os.path.exists(mu):
+                return None, None
+            fv = self.fz.featuregram("music", mu_path=mu)
+            db = None
+
+        if self.cfg.frame_level_scaling and self.fold_stats is not None:
+            fv = scale_frames(fv, *self.fold_stats)
+        patches = self._extract(fv)
+        return patches, db
+
+    def _extract(self, fv: np.ndarray) -> np.ndarray:
+        """Per-featName patching incl. the harm/perc split-standardize-
+        reassemble of ``get_feature_patches`` (preprocessing.py:137-292)."""
+        cfg = self.cfg
+        dual = "HarmPerc" in cfg.feat_name
+        if dual:
+            half = fv.shape[0] // 2
+            parts = [fv[:half], fv[half:]]
+        else:
+            parts = [fv]
+        out = []
+        for part in parts:
+            if not cfg.frame_level_scaling:
+                part = np.asarray(standardize_rows(part))
+            out.append(extract_patches_np(part, cfg.patch_size,
+                                          cfg.patch_shift))
+        patches = np.concatenate(out, axis=1) if dual else out[0]
+        if cfg.skewness_vector:
+            from ..ops.stats import patch_statistics
+            axis = 1 if cfg.skewness_vector == "Row" else 0
+            stats = np.asarray(patch_statistics(patches, stat_type="skew",
+                                                axis=axis))
+            patches = stats[:, :, None] if axis == 1 else stats[:, None, :]
+        return patches.astype(np.float32)
+
+    # -- assembly ---------------------------------------------------------
+    def _fill(self, classname: str):
+        stream = self.streams[classname]
+        while stream.count < self.cfg.batch_size:
+            patches, db = self._patches_for(classname, stream.next_item())
+            if patches is None:
+                continue
+            stream.push(patches, db)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        bs = self.cfg.batch_size
+        order = ["music", "speech"] + (
+            ["speech_music"] if self.n_classes == 3 else [])
+        chunks, dbs = [], []
+        for cls in order:
+            self._fill(cls)
+            data, db = self.streams[cls].take(bs)
+            chunks.append(data)
+            dbs.append(db)
+        x = np.concatenate(chunks, axis=0)
+
+        if self.cfg.input_kind == "time_mel":
+            x = np.transpose(x, (0, 2, 1))
+        else:
+            x = x[..., None]
+
+        if self.cfg.augment_noise:
+            scale = self.rng.choice(_NOISE_SCALES)
+            x = x + self.rng.normal(0.0, scale, x.shape)
+
+        labels = self._labels(dbs)
+        return x.astype(np.float32), labels
+
+    def _labels(self, dbs):
+        bs = self.cfg.batch_size
+        n = self.n_classes * bs
+        y = np.repeat(np.arange(self.n_classes), bs)
+        onehot = np.zeros((n, self.n_classes), np.float32)
+        onehot[np.arange(n), y] = 1.0
+
+        s = np.zeros(n, np.float32)
+        s[bs:2 * bs] = 1.0          # speech rows only
+        m = np.zeros(n, np.float32)
+        m[:bs] = 1.0                # music rows only
+
+        r = np.ones((3 * bs, 2), np.float32)
+        r[:bs] = [1.0, 0.0]
+        r[bs:2 * bs] = [0.0, 1.0]
+        if self.n_classes == 3:
+            mix_db = dbs[2]
+            for i, db in enumerate(mix_db):
+                if db >= 0:
+                    r[2 * bs + i] = [10.0 ** (-db / 10.0), 1.0]
+                else:
+                    r[2 * bs + i] = [1.0, 10.0 ** (db / 10.0)]
+        return {"S": s, "M": m, "R": r[:n], "3C": onehot}

@@ -21,13 +21,16 @@ from . import reference as ref
 
 
 @functools.lru_cache(maxsize=32)
-def _mel_basis(sr: int, n_fft: int, n_mels: int) -> jnp.ndarray:
-    return jnp.asarray(ref.mel_filterbank(sr, n_fft, n_mels), dtype=jnp.float32)
+def _mel_basis(sr: int, n_fft: int, n_mels: int):
+    # Cached as a HOST numpy array: caching a device value here would leak
+    # tracers when first touched inside a jit trace.
+    import numpy as np
+    return np.asarray(ref.mel_filterbank(sr, n_fft, n_mels), dtype=np.float32)
 
 
 def mel_filterbank(sr: int, n_fft: int, n_mels: int) -> jax.Array:
     """Slaney-norm mel filterbank as a device constant, ``(n_mels, 1+n_fft//2)``."""
-    return _mel_basis(sr, n_fft, n_mels)
+    return jnp.asarray(_mel_basis(sr, n_fft, n_mels))
 
 
 @functools.partial(jax.jit, static_argnames=("sr", "n_mels"))
