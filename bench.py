@@ -1,0 +1,85 @@
+"""Headline benchmark: HPSS + featurization throughput per chip.
+
+Measures the flagship feature pipeline — STFT -> fused-Pallas HPSS ->
+mel -> log (LogMelHarmPercSpec, the proposed-work configuration) — in
+audio-hours processed per second on the available accelerator, against a
+single-thread CPU baseline running the numpy/scipy golden implementation
+of the same librosa algorithms (the reference's compute path).
+
+Prints ONE json line:
+  {"metric": ..., "value": N, "unit": "audio_hours_per_sec",
+   "vs_baseline": N}
+where vs_baseline is the speedup over the CPU baseline (BASELINE.md
+target: >= 100x per v5e chip).
+
+Timing uses chained-iteration differencing (utils/benchmarking.py) since
+this environment's tunneled TPU makes naive wall-clock timing
+meaningless.
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def featurize_step(use_pallas: bool):
+    from sm_hpss_mtl_tpu.ops import featuregram as fg
+
+    def step(audio):
+        fv = fg.featuregram(audio, feat_name="LogMelHarmPercSpec",
+                            n_mels=120, use_pallas=use_pallas)
+        # Data-dependent carry with the input's shape: fold features back
+        # into an audio-shaped perturbation so iterations chain.
+        delta = jnp.mean(fv, axis=(-2, -1), keepdims=False)[..., None]
+        return audio + 1e-6 * delta
+
+    return step
+
+
+def cpu_baseline_seconds(audio_np: np.ndarray) -> float:
+    """Single-thread numpy/scipy featurization of one batch item."""
+    from sm_hpss_mtl_tpu.ops import reference as ref
+
+    x = audio_np[0]
+    t0 = time.perf_counter()
+    S = ref.stft_mag(x, 400, 400, 160)
+    H, P = ref.hpss(S, 21, 11)
+    fH = ref.power_to_db(ref.melspectrogram_from_S(H, 120) ** 2)
+    fP = ref.power_to_db(ref.melspectrogram_from_S(P, 120) ** 2)
+    np.concatenate([fH, fP], axis=0)
+    dt = time.perf_counter() - t0
+    return dt * audio_np.shape[0]  # batch-equivalent
+
+
+def main():
+    from sm_hpss_mtl_tpu.utils.benchmarking import time_op
+
+    B, seconds = 16, 30.0
+    fs = 16000
+    rng = np.random.default_rng(0)
+    audio_np = rng.standard_normal((B, int(seconds * fs))).astype(np.float32)
+    audio = jnp.asarray(audio_np)
+    audio_hours = B * seconds / 3600.0
+
+    backend = jax.default_backend()
+    step = featurize_step(use_pallas=(backend == "tpu"))
+    t_dev = time_op(step, audio, iters=(3, 13), repeats=4)
+    throughput = audio_hours / t_dev
+
+    t_cpu = cpu_baseline_seconds(audio_np)
+    cpu_throughput = audio_hours / t_cpu
+
+    print(json.dumps({
+        "metric": "hpss_featurize_throughput",
+        "value": round(throughput, 2),
+        "unit": "audio_hours_per_sec",
+        "vs_baseline": round(throughput / cpu_throughput, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -148,10 +148,11 @@ def _pad_and_tile(S: jax.Array, l_harm: int, l_perc: int, tile_t: int):
         # Frames past T are sliced away from the output; edge-pad is fine.
         Sp = jnp.pad(Sp, ((0, 0), (0, 0), (0, extra)), mode="edge")
 
-    idx = (np.arange(nT)[:, None] * tile_t
-           + np.arange(tile_t + 2 * ht)[None, :])        # (nT, W)
-    tiles = Sp[:, :, idx]                                # (B, F+2hp, nT, W)
-    return jnp.moveaxis(tiles, 2, 1), nT                 # (B, nT, F+2hp, W)
+    # Static slices, not a gather — fancy indexing scalarizes on TPU.
+    W = tile_t + 2 * ht
+    tiles = jnp.stack([Sp[:, :, i * tile_t:i * tile_t + W]
+                       for i in range(nT)], axis=1)      # (B, nT, F+2hp, W)
+    return tiles, nT
 
 
 @functools.partial(

@@ -49,8 +49,9 @@ def _start_indices(T: int, patch_size: int, patch_shift: int) -> np.ndarray:
 def extract_patches(FV: jax.Array, *, patch_size: int, patch_shift: int) -> jax.Array:
     """``(..., D, T) -> (N, ..., D, patch_size)`` sliding windows.
 
-    Applies the short-clip tiling rule, then gathers all windows at once.
-    Patch axis is leading so downstream code can treat it as batch.
+    Applies the short-clip tiling rule, then extracts all windows with
+    XLA's native strided-patch op (a fancy-index gather scalarizes on
+    TPU).  Patch axis is leading so downstream code can treat it as batch.
     """
     T = FV.shape[-1]
     full_T = tiled_length(T, patch_size)
@@ -58,9 +59,18 @@ def extract_patches(FV: jax.Array, *, patch_size: int, patch_shift: int) -> jax.
         reps = [1] * (FV.ndim - 1) + [full_T // T + (1 if full_T % T else 0)]
         FV = jnp.tile(FV, reps)[..., :full_T]
     starts = _start_indices(full_T, patch_size, patch_shift)
-    idx = starts[:, None] + np.arange(patch_size)[None, :]   # (N, W)
-    out = FV[..., idx]                                       # (..., D, N, W)
-    return jnp.moveaxis(out, -2, 0)
+    # Windows start at 0, shift, 2*shift, ... and stop before
+    # full_T - patch_size//2 - patch_size/2; trim the tail to the exact
+    # reference count.
+    n_keep = len(starts)
+    lead = FV.shape[:-1]
+    x = FV.reshape((-1, 1, full_T))
+    pat = jax.lax.conv_general_dilated_patches(
+        x, filter_shape=(patch_size,), window_strides=(patch_shift,),
+        padding="VALID")                      # (BD, patch_size, N_all)
+    pat = pat[..., :n_keep]
+    pat = jnp.moveaxis(pat, -1, 0)            # (N, BD, patch_size)
+    return pat.reshape((n_keep,) + lead + (patch_size,))
 
 
 def extract_patches_np(FV: np.ndarray, patch_size: int, patch_shift: int) -> np.ndarray:

@@ -7,11 +7,18 @@ for testing multi-chip sharding logic without TPUs (SURVEY.md §4).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force, don't setdefault: the axon sitecustomize pre-sets
+# JAX_PLATFORMS=axon and register() re-points jax at the tunneled TPU, so
+# we must override both the env var and (below) the jax config.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the suite is compile-bound on CPU, and
 # cached executables make reruns ~10x faster.

@@ -1,0 +1,86 @@
+"""Multi-chip tests on the virtual 8-device CPU mesh (conftest)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sm_hpss_mtl_tpu.models import get_model
+from sm_hpss_mtl_tpu.ops import hpss as jhpss
+from sm_hpss_mtl_tpu.parallel import (hpss_time_sharded, make_dp_train_step,
+                                      make_mesh, shard_batch)
+from sm_hpss_mtl_tpu.train import TrainState, for_model
+
+RNG = jax.random.PRNGKey(0)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8 and mesh.shape["time"] == 1
+    mesh = make_mesh(n_data=4, n_time=2)
+    assert mesh.shape["data"] == 4 and mesh.shape["time"] == 2
+
+
+def test_hpss_time_sharded_matches_unsharded(rng):
+    mesh = make_mesh(n_data=1, n_time=8)
+    S = np.abs(rng.standard_normal((2, 31, 8 * 40))).astype(np.float32)
+    H0, P0 = jhpss.hpss(jnp.asarray(S), l_harm=21, l_perc=11)
+    H1, P1 = hpss_time_sharded(jnp.asarray(S), mesh, l_harm=21, l_perc=11)
+    np.testing.assert_allclose(np.asarray(H1), np.asarray(H0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(P1), np.asarray(P0), atol=1e-6)
+
+
+def test_hpss_time_sharded_guards(rng):
+    mesh = make_mesh(n_data=1, n_time=8)
+    S = jnp.asarray(np.abs(rng.standard_normal((1, 8, 100))).astype(np.float32))
+    with pytest.raises(ValueError, match="not divisible"):
+        hpss_time_sharded(S, mesh)
+    small = jnp.asarray(np.abs(rng.standard_normal((1, 8, 8 * 8))).astype(np.float32))
+    with pytest.raises(ValueError, match="halo"):
+        hpss_time_sharded(small, mesh)
+
+
+def _mtl_labels(bs):
+    n = 3 * bs
+    y3 = np.zeros((n, 3), np.float32)
+    y3[np.arange(n), np.repeat([0, 1, 2], bs)] = 1
+    return {
+        "S": jnp.asarray(np.repeat([0, 1, 0], bs).astype(np.float32)),
+        "M": jnp.asarray(np.repeat([1, 0, 0], bs).astype(np.float32)),
+        "R": jnp.asarray(np.concatenate([
+            np.tile([1, 0], (bs, 1)), np.tile([0, 1], (bs, 1)),
+            np.tile([0.5, 1], (bs, 1))]).astype(np.float32)),
+        "3C": jnp.asarray(y3),
+    }
+
+
+def test_dp_train_step_matches_single_device():
+    """One DP step on an 8-device mesh must equal the single-device step
+    (global-batch BN + summed grads make DP semantically transparent)."""
+    from sm_hpss_mtl_tpu.train import make_train_step
+
+    spec = get_model("Lemaire_et_al_MTL", dropout_rate=0.0)
+    bs = 8  # 24 total rows -> divisible by 8 devices
+    x = jax.random.normal(RNG, (3 * bs, 16, 12))
+    labels = _mtl_labels(bs)
+    opt, _ = for_model("Lemaire_et_al_MTL", tr_steps=100)
+    state = TrainState.create(spec.module, opt, x, RNG)
+
+    # Single device.
+    step1 = make_train_step(spec.module, opt, mtl=True)
+    s1, m1 = step1(state, x, labels, RNG)
+
+    # 8-device DP.
+    mesh = make_mesh()
+    dp_step = make_dp_train_step(spec.module, opt, mesh, mtl=True)
+    xb, lb = shard_batch((x, labels), mesh)
+    s8, m8 = dp_step(state, xb, lb, RNG)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=2e-5)
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l8 = jax.tree_util.tree_leaves(s8.params)
+    for a, b in zip(l1, l8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
