@@ -1,0 +1,165 @@
+"""Shared experiment runner: the TPU-native equivalent of the reference
+drivers' ``__main__`` skeleton (``/root/reference/Proposed_Work_Results.py:
+838-975``): per CV fold — 70/30 train/val file split, class-balanced
+streams, model+optimizer build, fit with early stopping + best
+checkpoint, file-wise testing (+ optional SMR sweep), results CSVs.
+
+Unlike the reference (config-in-code, edit-the-file experiment grid),
+everything is parameterized through ``ExperimentConfig`` and argparse in
+the thin CLI wrappers.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import replace
+
+import numpy as np
+
+import jax
+
+from ..data import (BalancedBatcher, BatcherConfig, Featurizer,
+                    get_train_test_files, load_cv_folds)
+from ..data.prefetch import DevicePrefetcher
+from ..eval.tester import FileWiseTester
+from ..models import get_model
+from ..train import (ExperimentConfig, TrainState, fit, for_model,
+                     make_predict)
+from ..utils.results import append_results, dump_configuration
+
+
+def split_train_val(train_files: dict, frac: float = 0.7, seed: int = 0):
+    """The reference's per-class 70/30 shuffle split
+    (``Proposed_Work_Results.py:287-295``)."""
+    rng = np.random.default_rng(seed)
+    tr, va = {}, {}
+    for cls, files in train_files.items():
+        files = list(files)
+        rng.shuffle(files)
+        n = int(len(files) * frac)
+        tr[cls], va[cls] = files[:n], files[n:]
+        # Tiny corpora: never leave a side empty.
+        if files and not tr[cls]:
+            tr[cls] = files[:1]
+        if files and not va[cls]:
+            va[cls] = files[-1:]
+    return tr, va
+
+
+def _class_subset(files: dict, n_classes: int) -> dict:
+    if n_classes == 2:
+        return {k: v for k, v in files.items() if k in ("music", "speech")}
+    return files
+
+
+def run_fold(config: ExperimentConfig, cv_file_list: dict, fold: int,
+             verbose: bool = True) -> dict:
+    """Train + evaluate one fold; returns the results row."""
+    spec = get_model(config.model, n_classes=config.n_classes,
+                     n_mels=max(config.feature_config().n_mels, 1),
+                     dropout_rate=config.dropout_rate)
+    feat_cfg = config.feature_config()
+    cache_dir = (os.path.join(config.feature_dir, config.model,
+                              feat_cfg.feat_name)
+                 if config.feature_dir else None)
+    fz = Featurizer(feat_cfg, cache_dir=cache_dir)
+
+    train_files, test_files = get_train_test_files(cv_file_list, fold)
+    train_files = _class_subset(train_files, config.n_classes)
+    test_files = _class_subset(test_files, config.n_classes)
+    tr_files, va_files = split_train_val(train_files, seed=config.seed)
+
+    bcfg = BatcherConfig(
+        batch_size=config.batch_size, patch_size=config.patch_size,
+        patch_shift=config.patch_shift, feat_name=feat_cfg.feat_name,
+        input_kind=config.input_kind, augment_noise=config.augment_noise,
+        frame_level_scaling=config.frame_level_scaling,
+        skewness_vector=config.skewness_vector, seed=config.seed)
+    def _label_map(it):
+        # Single-task models take only the one-hot class labels.
+        for x, labels in it:
+            yield (x, labels) if spec.mtl else (x, labels["3C"])
+
+    train_iter = DevicePrefetcher(_label_map(
+        BalancedBatcher(fz, config.data_root, tr_files, bcfg)))
+    val_iter = DevicePrefetcher(_label_map(
+        BalancedBatcher(fz, config.data_root, va_files,
+                        replace(bcfg, augment_noise=False,
+                                seed=config.seed + 1))))
+
+    optimizer, _ = for_model(config.model, tr_steps=max(config.tr_steps, 1))
+    op_dir = os.path.join(config.output_dir, config.model,
+                          feat_cfg.feat_name)
+    os.makedirs(op_dir, exist_ok=True)
+
+    result = fit(spec.module, optimizer, train_iter, val_iter,
+                 mtl=spec.mtl, epochs=config.epochs,
+                 steps_per_epoch=max(config.tr_steps, 1),
+                 val_steps=max(config.v_steps, 1),
+                 loss_weights=config.loss_weights,
+                 rng=jax.random.PRNGKey(config.seed),
+                 checkpoint_dir=os.path.join(op_dir, f"fold{fold}_ckpt"),
+                 csv_log=os.path.join(op_dir, f"fold{fold}_log.csv"),
+                 verbose=verbose)
+
+    predict = make_predict(spec.module)
+    tester = FileWiseTester(
+        featurizer=fz,
+        predict_fn=lambda x: predict(result.state, x),
+        folder=config.data_root, feat_name=feat_cfg.feat_name,
+        input_kind=config.input_kind, patch_size=config.patch_size,
+        test_patch_shift=config.test_patch_shift, mtl=spec.mtl,
+        frame_level_scaling=config.frame_level_scaling,
+        skewness_vector=config.skewness_vector)
+    test_res = tester.test_model(test_files, verbose=verbose)
+
+    row = {"val_loss": round(result.best_val_loss, 4),
+           "epochs_run": len(result.history),
+           "train_time_s": round(result.training_time, 1)}
+    from ..eval.metrics import accuracy
+    row["accuracy"] = accuracy(test_res["ConfMat"])
+    class_names = (["mu", "sp", "spmu", "no", "spno"])[:config.n_classes]
+    for i, cls in enumerate(class_names):
+        row[f"Prec_{cls}"] = test_res["precision"][i]
+        row[f"Rec_{cls}"] = test_res["recall"][i]
+        row[f"F1_{cls}"] = test_res["fscore"][i]
+    append_results(op_dir, fold, row)
+    return {"row": row, "test": test_res, "fit": result, "op_dir": op_dir,
+            "tester": tester, "test_files": test_files}
+
+
+def run_experiment(config: ExperimentConfig, folds=None, *,
+                   smr_sweep: bool = False, verbose: bool = True) -> list:
+    cv_path = os.path.join(config.data_root, "cv_info")
+    if os.path.exists(os.path.join(cv_path, "cv_file_list.pkl")):
+        cv_file_list = load_cv_folds(cv_path)
+    else:
+        from ..data import create_cv_folds, save_cv_folds
+        cv_file_list = create_cv_folds(config.data_root, cv=config.cv_folds,
+                                       seed=config.seed)
+        save_cv_folds(cv_file_list, cv_path)
+
+    if not config.tr_steps:
+        config = config.with_steps_from_durations(
+            {k: v for k, v in cv_file_list["total_duration"].items()
+             if k in ("music", "speech", "speech+music")})
+
+    op_dir = os.path.join(config.output_dir, config.model,
+                          config.feat_name)
+    dump_configuration(op_dir, config)
+
+    folds = folds if folds is not None else range(config.cv_folds)
+    results = []
+    for fold in folds:
+        out = run_fold(config, cv_file_list, fold, verbose=verbose)
+        if smr_sweep:
+            sweep = out["tester"].smr_sweep(out["test_files"],
+                                            config.test_smr_levels)
+            out["smr_sweep"] = sweep
+            from ..eval.metrics import accuracy
+            for db, res in sweep.items():
+                append_results(out["op_dir"], fold,
+                               {"SMR": db, "acc": accuracy(res["ConfMat"])},
+                               suffix="SMR")
+        results.append(out)
+    return results

@@ -1,0 +1,66 @@
+"""Proposed-work driver: MTL / Cascaded-MTL models with HPSS features.
+
+TPU-native equivalent of ``/root/reference/Proposed_Work_Results.py``.
+
+    python -m sm_hpss_mtl_tpu.cli.mtl --data /path/to/musan \\
+        --model Lemaire_et_al_MTL --epochs 50 --folds 0 1 2 [--smr-sweep]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ..train import ExperimentConfig
+from .experiment import run_experiment
+
+
+def build_parser(default_model: str = "Lemaire_et_al_MTL"):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data", required=True, help="MUSAN-layout corpus root")
+    p.add_argument("--model", default=default_model)
+    p.add_argument("--features", default="", help="feature cache dir")
+    p.add_argument("--output", default="./results")
+    p.add_argument("--folds", type=int, nargs="*", default=None)
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--patch-size", type=int, default=68)
+    p.add_argument("--patch-shift", type=int, default=68)
+    p.add_argument("--n-classes", type=int, default=3)
+    p.add_argument("--tr-steps", type=int, default=0,
+                   help="override derived steps/epoch (0 = derive)")
+    p.add_argument("--v-steps", type=int, default=0)
+    p.add_argument("--no-augment", action="store_true")
+    p.add_argument("--smr-sweep", action="store_true")
+    p.add_argument("--loss-weights", default=None,
+                   help="e.g. 'S:0.5,M:0.5,R:0.5,3C:1.0'")
+    p.add_argument("--skewness-vector", choices=["Row", "Col"], default=None)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def config_from_args(args) -> ExperimentConfig:
+    lw = None
+    if args.loss_weights:
+        lw = {k: float(v) for k, v in
+              (item.split(":") for item in args.loss_weights.split(","))}
+    return ExperimentConfig(
+        model=args.model, data_root=args.data, feature_dir=args.features,
+        output_dir=args.output, epochs=args.epochs,
+        batch_size=args.batch_size, n_classes=args.n_classes,
+        patch_size=args.patch_size, patch_shift=args.patch_shift,
+        tr_steps=args.tr_steps, v_steps=args.v_steps,
+        augment_noise=not args.no_augment, loss_weights=lw,
+        skewness_vector=args.skewness_vector, seed=args.seed)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    results = run_experiment(config_from_args(args), folds=args.folds,
+                             smr_sweep=args.smr_sweep)
+    for fold, out in enumerate(results):
+        print(f"fold result: {out['row']}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

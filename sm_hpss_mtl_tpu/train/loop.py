@@ -1,0 +1,128 @@
+"""Training loop: epochs over a balanced stream with early stopping,
+best-checkpoint saving, and CSV epoch logs.
+
+Reproduces the reference's ``train_model`` callbacks
+(``/root/reference/Proposed_Work_Results.py:275-312``):
+``EarlyStopping(monitor=val_loss, min_delta=0.01, patience=5,
+restore_best_weights=True)``, best-only ``ModelCheckpoint``, and
+``CSVLogger``; plus the 70/30 train/val file split (:287-295) handled by
+the caller.  Timing is recorded like the reference's
+``trainingTimeTaken`` (:280-310).
+"""
+
+from __future__ import annotations
+
+import copy
+import csv
+import os
+import time
+from dataclasses import dataclass, field
+
+import jax
+import numpy as np
+
+from .state import TrainState, make_eval_step, make_train_step
+
+
+@dataclass
+class FitResult:
+    state: TrainState
+    history: list = field(default_factory=list)
+    best_val_loss: float = float("inf")
+    best_epoch: int = -1
+    training_time: float = 0.0
+    stopped_early: bool = False
+
+
+def _mean_metrics(rows: list[dict]) -> dict:
+    keys = rows[0].keys()
+    return {k: float(np.mean([float(r[k]) for r in rows])) for k in keys}
+
+
+def fit(model, optimizer, train_iter, val_iter, *, mtl: bool,
+        epochs: int, steps_per_epoch: int, val_steps: int,
+        state: TrainState | None = None, sample_batch=None,
+        loss_weights: dict | None = None, rng=None,
+        patience: int = 5, min_delta: float = 0.01,
+        checkpoint_dir: str | None = None, csv_log: str | None = None,
+        verbose: bool = True) -> FitResult:
+    """Train with early stopping on val loss; restores best weights."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    if state is None:
+        if sample_batch is None:
+            sample_batch, _ = next(train_iter)
+        state = TrainState.create(model, optimizer, sample_batch, rng)
+
+    train_step = make_train_step(model, optimizer, mtl=mtl,
+                                 loss_weights=loss_weights)
+    eval_step = make_eval_step(model, mtl=mtl, loss_weights=loss_weights)
+
+    result = FitResult(state=state)
+    best_payload = None
+    wait = 0
+    t0 = time.process_time()
+
+    csv_writer = None
+    csv_file = None
+
+    for epoch in range(epochs):
+        train_rows = []
+        for _ in range(steps_per_epoch):
+            batch, labels = next(train_iter)
+            rng, sub = jax.random.split(rng)
+            state, metrics = train_step(state, batch, labels, sub)
+            train_rows.append(metrics)
+        val_rows = []
+        for _ in range(val_steps):
+            batch, labels = next(val_iter)
+            val_rows.append(eval_step(state, batch, labels))
+
+        tr = _mean_metrics(train_rows)
+        va = _mean_metrics(val_rows)
+        row = {"epoch": epoch, **tr, **{f"val_{k}": v for k, v in va.items()}}
+        result.history.append(row)
+        if verbose:
+            print(f"epoch {epoch}: loss={tr['loss']:.4f} "
+                  f"val_loss={va['loss']:.4f}", flush=True)
+
+        if csv_log:
+            if csv_writer is None:
+                os.makedirs(os.path.dirname(csv_log) or ".", exist_ok=True)
+                csv_file = open(csv_log, "w", newline="")
+                csv_writer = csv.DictWriter(csv_file, fieldnames=row.keys())
+                csv_writer.writeheader()
+            csv_writer.writerow(row)
+            csv_file.flush()
+
+        val_loss = va["loss"]
+        if val_loss < result.best_val_loss - min_delta:
+            result.best_val_loss = val_loss
+            result.best_epoch = epoch
+            best_payload = jax.tree_util.tree_map(np.asarray,
+                                                  (state.params,
+                                                   state.batch_stats))
+            wait = 0
+            if checkpoint_dir:
+                from .checkpoint import save_checkpoint
+                save_checkpoint(checkpoint_dir, state,
+                                {"epoch": epoch, "val_loss": float(val_loss)})
+        else:
+            wait += 1
+            if wait >= patience:
+                result.stopped_early = True
+                if verbose:
+                    print(f"early stopping at epoch {epoch} "
+                          f"(best={result.best_epoch})", flush=True)
+                break
+
+    if csv_file:
+        csv_file.close()
+
+    result.training_time = time.process_time() - t0
+    if best_payload is not None:
+        params, batch_stats = best_payload
+        result.state = TrainState(params=params, batch_stats=batch_stats,
+                                  opt_state=state.opt_state, step=state.step)
+    else:
+        result.state = state
+    return result

@@ -1,0 +1,84 @@
+"""End-to-end experiment tests on the toy corpus (CPU, tiny settings)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from sm_hpss_mtl_tpu.data import make_toy_musan
+from sm_hpss_mtl_tpu.train import ExperimentConfig
+from sm_hpss_mtl_tpu.cli.experiment import run_experiment, split_train_val
+
+
+@pytest.fixture(scope="module")
+def toy_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("toy_e2e")
+    return make_toy_musan(str(root), n_per_class=9, duration_s=2.0)
+
+
+def test_split_train_val_never_empty():
+    tr, va = split_train_val({"music": ["a", "b"], "speech": ["c"]})
+    assert tr["music"] and va["music"]
+    assert tr["speech"] and va["speech"]
+
+
+@pytest.mark.parametrize("model", ["Lemaire_et_al_MTL"])
+def test_run_experiment_end_to_end(toy_root, tmp_path, model):
+    cfg = ExperimentConfig(
+        model=model, data_root=toy_root,
+        feature_dir=str(tmp_path / "features"),
+        output_dir=str(tmp_path / "results"),
+        epochs=2, batch_size=2, patch_size=16, patch_shift=16,
+        tr_steps=2, v_steps=1, augment_noise=False, seed=0)
+    results = run_experiment(cfg, folds=[0], verbose=False)
+    assert len(results) == 1
+    out = results[0]
+    row = out["row"]
+    assert np.isfinite(row["val_loss"])
+    assert 0.0 <= row["accuracy"] <= 1.0
+    assert set(out["test"]) >= {"ConfMat", "precision", "recall", "fscore"}
+    # Artifacts: Performance.csv, Configuration.csv, epoch log, checkpoint.
+    op_dir = out["op_dir"]
+    assert os.path.exists(os.path.join(op_dir, "Performance.csv"))
+    assert os.path.exists(os.path.join(op_dir, "fold0_log.csv"))
+    assert os.path.exists(os.path.join(op_dir, "fold0_ckpt", "state"))
+    cfg_csv = os.path.join(str(tmp_path / "results"), model,
+                           "LogMelHarmPercSpec", "Configuration.csv")
+    assert os.path.exists(cfg_csv)
+    # Feature cache was populated with the reference's layout.
+    cache = os.path.join(str(tmp_path / "features"), model,
+                         "LogMelHarmPercSpec")
+    assert os.path.isdir(os.path.join(cache, "speech"))
+
+
+def test_baseline_single_task(toy_root, tmp_path):
+    cfg = ExperimentConfig(
+        model="Lemaire_et_al", data_root=toy_root,
+        feature_dir=str(tmp_path / "features"),
+        output_dir=str(tmp_path / "results"),
+        epochs=1, batch_size=2, patch_size=16, patch_shift=16,
+        tr_steps=2, v_steps=1, augment_noise=False)
+    results = run_experiment(cfg, folds=[0], verbose=False)
+    assert np.isfinite(results[0]["row"]["val_loss"])
+
+
+def test_hpss_resynth_cli(toy_root, tmp_path):
+    from sm_hpss_mtl_tpu.cli import hpss_resynth
+    sp = os.path.join(toy_root, "speech", "speech-toy-0000.wav")
+    mu = os.path.join(toy_root, "music", "music-toy-0000.wav")
+    hpss_resynth.main([sp, "--mix", mu, "--smr", "5", "--out-dir",
+                       str(tmp_path)])
+    outs = sorted(os.listdir(tmp_path))
+    assert any("Harmonic" in f for f in outs)
+    assert any("Percussive" in f for f in outs)
+    from sm_hpss_mtl_tpu.data.audio import read_wav
+    name = [f for f in outs if "Harmonic" in f][0]
+    x, sr = read_wav(os.path.join(tmp_path, name))
+    assert sr == 16000 and np.isfinite(x).all() and len(x) == 32000
+
+
+def test_make_folds_cli(toy_root, tmp_path):
+    from sm_hpss_mtl_tpu.cli import make_folds
+    make_folds.main(["--data", toy_root, "--output", str(tmp_path / "cv")])
+    assert os.path.exists(tmp_path / "cv" / "cv_file_list.pkl")
+    assert os.path.exists(tmp_path / "cv" / "fold2.csv")
