@@ -46,10 +46,16 @@ def split_train_val(train_files: dict, frac: float = 0.7, seed: int = 0):
     return tr, va
 
 
-def _class_subset(files: dict, n_classes: int) -> dict:
+def class_names_for(n_classes: int) -> list[str]:
+    names = ["music", "speech", "speech+music", "noise", "speech+noise"]
     if n_classes == 2:
-        return {k: v for k, v in files.items() if k in ("music", "speech")}
-    return files
+        return names[:2]
+    return names[:3] if n_classes == 3 else names[:5]
+
+
+def _class_subset(files: dict, n_classes: int) -> dict:
+    keep = set(class_names_for(n_classes))
+    return {k: v for k, v in files.items() if k in keep}
 
 
 def run_fold(config: ExperimentConfig, cv_file_list: dict, fold: int,
@@ -64,15 +70,18 @@ def run_fold(config: ExperimentConfig, cv_file_list: dict, fold: int,
                  if config.feature_dir else None)
     fz = Featurizer(feat_cfg, cache_dir=cache_dir)
 
-    train_files, test_files = get_train_test_files(cv_file_list, fold)
+    train_files, test_files = get_train_test_files(
+        cv_file_list, fold, class_names=class_names_for(config.n_classes))
     train_files = _class_subset(train_files, config.n_classes)
     test_files = _class_subset(test_files, config.n_classes)
     tr_files, va_files = split_train_val(train_files, seed=config.seed)
 
+    dual = spec.input_kind == "dual"
     bcfg = BatcherConfig(
         batch_size=config.batch_size, patch_size=config.patch_size,
         patch_shift=config.patch_shift, feat_name=feat_cfg.feat_name,
-        input_kind=config.input_kind, augment_noise=config.augment_noise,
+        input_kind="time_mel" if dual else config.input_kind,
+        dual_tower=dual, augment_noise=config.augment_noise,
         frame_level_scaling=config.frame_level_scaling,
         skewness_vector=config.skewness_vector, seed=config.seed)
     def _label_map(it):
@@ -107,7 +116,8 @@ def run_fold(config: ExperimentConfig, cv_file_list: dict, fold: int,
         featurizer=fz,
         predict_fn=lambda x: predict(result.state, x),
         folder=config.data_root, feat_name=feat_cfg.feat_name,
-        input_kind=config.input_kind, patch_size=config.patch_size,
+        input_kind="time_mel" if dual else config.input_kind,
+        dual_tower=dual, patch_size=config.patch_size,
         test_patch_shift=config.test_patch_shift, mtl=spec.mtl,
         frame_level_scaling=config.frame_level_scaling,
         skewness_vector=config.skewness_vector)
@@ -130,19 +140,23 @@ def run_fold(config: ExperimentConfig, cv_file_list: dict, fold: int,
 
 def run_experiment(config: ExperimentConfig, folds=None, *,
                    smr_sweep: bool = False, verbose: bool = True) -> list:
-    cv_path = os.path.join(config.data_root, "cv_info")
+    with_noise = config.n_classes == 5
+    cv_path = os.path.join(config.data_root,
+                           "cv_info_5_class" if with_noise else "cv_info")
     if os.path.exists(os.path.join(cv_path, "cv_file_list.pkl")):
         cv_file_list = load_cv_folds(cv_path)
     else:
         from ..data import create_cv_folds, save_cv_folds
         cv_file_list = create_cv_folds(config.data_root, cv=config.cv_folds,
+                                       with_noise=with_noise,
                                        seed=config.seed)
         save_cv_folds(cv_file_list, cv_path)
 
     if not config.tr_steps:
+        keep = set(class_names_for(config.n_classes))
         config = config.with_steps_from_durations(
             {k: v for k, v in cv_file_list["total_duration"].items()
-             if k in ("music", "speech", "speech+music")})
+             if k in keep})
 
     op_dir = os.path.join(config.output_dir, config.model,
                           config.feat_name)

@@ -55,6 +55,8 @@ class BatcherConfig:
     frame_level_scaling: bool = False
     #: None | 'Row' | 'Col'
     skewness_vector: str | None = None
+    #: emit {'harm_input','perc_input'} dict batches (intermediate fusion)
+    dual_tower: bool = False
     seed: int = 0
 
 
@@ -107,23 +109,34 @@ class BalancedBatcher:
         self.cfg = config
         self.fold_stats = fold_stats
         self.rng = np.random.default_rng(config.seed)
-        self.n_classes = 3 if "speech+music" in file_list else 2
+        if "speech+noise" in file_list:
+            self.n_classes = 5
+        elif "speech+music" in file_list:
+            self.n_classes = 3
+        else:
+            self.n_classes = 2
         self.streams = {
             "music": _ClassStream(file_list["music"], self.rng),
             "speech": _ClassStream(file_list["speech"], self.rng),
         }
-        if self.n_classes == 3:
+        if self.n_classes >= 3:
             self.streams["speech_music"] = _ClassStream(
                 file_list["speech+music"], self.rng)
+        if self.n_classes == 5:
+            self.streams["noise"] = _ClassStream(file_list["noise"], self.rng)
+            self.streams["speech_noise"] = _ClassStream(
+                file_list["speech+noise"], self.rng)
 
     # -- featurization ----------------------------------------------------
     def _patches_for(self, classname: str, item):
-        if classname == "speech_music":
+        if classname in ("speech_music", "speech_noise"):
+            partner_dir = "music" if classname == "speech_music" else "noise"
+            partner_key = "music" if classname == "speech_music" else "noise"
             sp = os.path.join(self.folder, "speech", item["speech"])
-            mu = os.path.join(self.folder, "music", item["music"])
+            mu = os.path.join(self.folder, partner_dir, item[partner_key])
             if not (os.path.exists(sp) and os.path.exists(mu)):
                 return None, None
-            fv = self.fz.featuregram("speech_music", sp, mu, item["SMR"])
+            fv = self.fz.featuregram(classname, sp, mu, item["SMR"])
             db = item["SMR"]
         elif classname == "speech":
             sp = os.path.join(self.folder, "speech", item)
@@ -131,11 +144,11 @@ class BalancedBatcher:
                 return None, None
             fv = self.fz.featuregram("speech", sp_path=sp)
             db = None
-        else:
-            mu = os.path.join(self.folder, "music", item)
+        else:  # music / noise
+            mu = os.path.join(self.folder, classname, item)
             if not os.path.exists(mu):
                 return None, None
-            fv = self.fz.featuregram("music", mu_path=mu)
+            fv = self.fz.featuregram(classname, mu_path=mu)
             db = None
 
         if self.cfg.frame_level_scaling and self.fold_stats is not None:
@@ -182,8 +195,13 @@ class BalancedBatcher:
 
     def __next__(self):
         bs = self.cfg.batch_size
-        order = ["music", "speech"] + (
-            ["speech_music"] if self.n_classes == 3 else [])
+        # Reference class order: music(0), speech(1), speech_music(2)[,
+        # noise(3), speech_noise(4)] (5_class_classification.py:584-607).
+        order = ["music", "speech"]
+        if self.n_classes >= 3:
+            order.append("speech_music")
+        if self.n_classes == 5:
+            order += ["noise", "speech_noise"]
         chunks, dbs = [], []
         for cls in order:
             self._fill(cls)
@@ -202,7 +220,17 @@ class BalancedBatcher:
             x = x + self.rng.normal(0.0, scale, x.shape)
 
         labels = self._labels(dbs)
-        return x.astype(np.float32), labels
+        x = x.astype(np.float32)
+        if self.cfg.dual_tower:
+            # Split the stacked [harm; perc] feature dim into the twin-tower
+            # dict batch (Intermediate_Fusion_Results.py:47-318).
+            d = x.shape[-1] // 2 if self.cfg.input_kind == "time_mel" else None
+            if self.cfg.input_kind == "time_mel":
+                x = {"harm_input": x[..., :d], "perc_input": x[..., d:]}
+            else:
+                h = x.shape[1] // 2
+                x = {"harm_input": x[:, :h], "perc_input": x[:, h:]}
+        return x, labels
 
     def _labels(self, dbs):
         bs = self.cfg.batch_size
@@ -211,8 +239,11 @@ class BalancedBatcher:
         onehot = np.zeros((n, self.n_classes), np.float32)
         onehot[np.arange(n), y] = 1.0
 
+        if self.n_classes == 5:
+            return self._labels_5(dbs, onehot)
+
         s = np.zeros(n, np.float32)
-        s[bs:2 * bs] = 1.0          # speech rows only
+        s[bs:2 * bs] = 1.0          # speech rows only (spmu=0, this driver)
         m = np.zeros(n, np.float32)
         m[:bs] = 1.0                # music rows only
 
@@ -227,3 +258,32 @@ class BalancedBatcher:
                 else:
                     r[2 * bs + i] = [1.0, 10.0 ** (db / 10.0)]
         return {"S": s, "M": m, "R": r[:n], "3C": onehot}
+
+    def _labels_5(self, dbs, onehot):
+        """5-class encodings (``5_class_classification.py:608-671``).
+
+        Note the driver differences vs the 3-class generator: here
+        speech+music counts as S=1 AND M=1, and the R head is 3-dim
+        [music, speech, noise] with the reference's (inconsistent but
+        replicated) speech+noise convention."""
+        bs = self.cfg.batch_size
+        n = 5 * bs
+        s = np.array([0, 1, 1, 0, 1], np.float32).repeat(bs)
+        m = np.array([1, 0, 1, 0, 0], np.float32).repeat(bs)
+        no = np.array([0, 0, 0, 1, 1], np.float32).repeat(bs)
+
+        r = np.ones((n, 3), np.float32)
+        r[:bs] = [1, 0, 0]
+        r[bs:2 * bs] = [0, 1, 0]
+        for i, db in enumerate(dbs[2]):          # speech+music
+            if db >= 0:
+                r[2 * bs + i] = [10.0 ** (-db / 10.0), 1.0, 0.0]
+            else:
+                r[2 * bs + i] = [1.0, 10.0 ** (db / 10.0), 0.0]
+        r[3 * bs:4 * bs] = [0, 0, 1]
+        for i, db in enumerate(dbs[4]):          # speech+noise
+            if db >= 0:
+                r[4 * bs + i] = [0.0, 10.0 ** (-db / 10.0), 1.0]
+            else:
+                r[4 * bs + i] = [0.0, 1.0, 10.0 ** (db / 10.0)]
+        return {"S": s, "M": m, "N": no, "R": r, "3C": onehot}

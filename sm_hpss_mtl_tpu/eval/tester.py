@@ -54,6 +54,8 @@ class FileWiseTester:
     frame_level_scaling: bool = False
     fold_stats: tuple | None = None
     skewness_vector: str | None = None
+    #: split patches into {'harm_input','perc_input'} (intermediate fusion)
+    dual_tower: bool = False
 
     def file_patches(self, classname: str, sp_path: str = "",
                      mu_path: str = "", target_db=None) -> np.ndarray:
@@ -87,7 +89,18 @@ class FileWiseTester:
                      mu_path: str = "", target_db=None):
         patches = self.file_patches(classname, sp_path, mu_path, target_db)
         padded, n = _pad_pow2(patches)
-        out = self.predict_fn(jnp.asarray(padded))
+        if self.dual_tower:
+            if self.input_kind == "time_mel":
+                d = padded.shape[-1] // 2
+                padded = {"harm_input": jnp.asarray(padded[..., :d]),
+                          "perc_input": jnp.asarray(padded[..., d:])}
+            else:
+                h = padded.shape[1] // 2
+                padded = {"harm_input": jnp.asarray(padded[:, :h]),
+                          "perc_input": jnp.asarray(padded[:, h:])}
+            out = self.predict_fn(padded)
+        else:
+            out = self.predict_fn(jnp.asarray(padded))
         if isinstance(out, dict):
             out = {k: np.asarray(v)[:n] for k, v in out.items()}
             pred = out["3C"]
@@ -103,13 +116,16 @@ class FileWiseTester:
         SMR; otherwise every pair is remixed at ``target_db``."""
         preds, labels, gts = [], [], []
 
+        singles = [("music", 0), ("speech", 1)]
+        if "speech+noise" in test_files:
+            singles.append(("noise", 3))
         if target_db is None:
-            for classname, label in (("music", 0), ("speech", 1)):
+            for classname, label in singles:
                 for fl in test_files.get(classname, []):
                     path = os.path.join(self.folder, classname, fl)
                     if not os.path.exists(path):
                         continue
-                    sp, mu = ("", path) if classname == "music" else (path, "")
+                    sp, mu = ("", path) if classname != "speech" else (path, "")
                     pred, _ = self.predict_file(classname, sp, mu, None)
                     preds.append(pred)
                     labels.append(np.argmax(pred, axis=1))
@@ -119,16 +135,21 @@ class FileWiseTester:
                         print(f"{classname} {fl}: {len(pred)} patches "
                               f"acc={acc:.3f}", flush=True)
 
-        for pair in test_files.get("speech+music", []):
-            sp = os.path.join(self.folder, "speech", pair["speech"])
-            mu = os.path.join(self.folder, "music", pair["music"])
-            if not (os.path.exists(sp) and os.path.exists(mu)):
-                continue
-            db = pair["SMR"] if target_db is None else target_db
-            pred, _ = self.predict_file("speech_music", sp, mu, db)
-            preds.append(pred)
-            labels.append(np.argmax(pred, axis=1))
-            gts.append(np.full(len(pred), 2))
+        pair_specs = [("speech+music", "speech_music", "music", "music", 2)]
+        if "speech+noise" in test_files:
+            pair_specs.append(("speech+noise", "speech_noise", "noise",
+                               "noise", 4))
+        for key, classname, pdir, pkey, label in pair_specs:
+            for pair in test_files.get(key, []):
+                sp = os.path.join(self.folder, "speech", pair["speech"])
+                mu = os.path.join(self.folder, pdir, pair[pkey])
+                if not (os.path.exists(sp) and os.path.exists(mu)):
+                    continue
+                db = pair["SMR"] if target_db is None else target_db
+                pred, _ = self.predict_file(classname, sp, mu, db)
+                preds.append(pred)
+                labels.append(np.argmax(pred, axis=1))
+                gts.append(np.full(len(pred), label))
 
         pred_labels = np.concatenate(labels)
         ground = np.concatenate(gts)
