@@ -63,7 +63,8 @@ def run_fold(config: ExperimentConfig, cv_file_list: dict, fold: int,
     """Train + evaluate one fold; returns the results row."""
     spec = get_model(config.model, n_classes=config.n_classes,
                      n_mels=max(config.feature_config().n_mels, 1),
-                     dropout_rate=config.dropout_rate)
+                     dropout_rate=config.dropout_rate,
+                     **(config.arch_kwargs or {}))
     feat_cfg = config.feature_config()
     cache_dir = (os.path.join(config.feature_dir, config.model,
                               feat_cfg.feat_name)

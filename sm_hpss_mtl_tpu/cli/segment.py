@@ -1,0 +1,95 @@
+"""Streaming segmentation driver: long-audio speech/music detection.
+
+TPU-native equivalent of
+``/root/reference/DAFx12_Speech_Music_Detection_B3_MTL_v2.py``: load a
+trained MUSAN MTL checkpoint, stream dense per-frame predictions over
+whole recordings (shift-1 windows in 10,000-frame slabs), smooth the
+probability track (median, win 501), optionally score against
+time-interval annotation CSVs, and write per-frame labels.
+
+    python -m sm_hpss_mtl_tpu.cli.segment broadcast.wav \\
+        --ckpt results/.../fold0_ckpt [--head S] \\
+        [--annot labels/speech/broadcast.csv] [--out labels.npz]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data.audio import read_wav
+from ..data.featurize import FeatureConfig, Featurizer
+from ..eval.metrics import get_performance
+from ..eval.segment import (StreamingSegmenter,
+                            interval_annotations_to_markers,
+                            read_interval_csv)
+from ..models import get_model
+from ..train import TrainState, for_model, make_predict, restore_checkpoint
+from ..train.config import MODEL_PRESETS
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("audio", help="input wav (any length)")
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--model", default="Lemaire_et_al_MTL")
+    p.add_argument("--head", default="S", choices=["S", "M"])
+    p.add_argument("--patch-size", type=int, default=68)
+    p.add_argument("--chunk-frames", type=int, default=10000)
+    p.add_argument("--smooth-win", type=int, default=501)
+    p.add_argument("--annot", default=None,
+                   help="interval CSV (tmin,dur,label) to score against")
+    p.add_argument("--out", default=None, help="save labels npz here")
+    args = p.parse_args(argv)
+
+    preset = MODEL_PRESETS[args.model]
+    feat_cfg = FeatureConfig(feat_name=preset["feat_name"],
+                             n_fft=preset["n_fft"],
+                             n_mels=preset["n_mels"])
+    fz = Featurizer(feat_cfg)
+    x, sr = read_wav(args.audio)
+    fv = fz._compute(x)
+
+    spec = get_model(args.model, n_mels=max(preset["n_mels"], 1))
+    opt, _ = for_model(args.model, tr_steps=1)
+    input_kind = ("time_mel" if args.model.startswith("Lemaire") else "image")
+    if input_kind == "time_mel":
+        sample = jnp.zeros((2, args.patch_size, fv.shape[0]))
+    else:
+        sample = jnp.zeros((2, fv.shape[0], args.patch_size, 1))
+    template = TrainState.create(spec.module, opt, sample,
+                                 jax.random.PRNGKey(0))
+    state, _ = restore_checkpoint(args.ckpt, template)
+    predict = make_predict(spec.module)
+
+    seg = StreamingSegmenter(
+        predict_fn=lambda b: predict(state, b),
+        patch_size=args.patch_size, chunk_frames=args.chunk_frames,
+        input_kind=input_kind, feat_name=preset["feat_name"])
+    prob, labels, tracks = seg.segment(fv, head=args.head,
+                                       smooth_win=args.smooth_win)
+    frac = labels.mean() if len(labels) else 0.0
+    print(f"{args.audio}: {len(labels)} frames, "
+          f"{args.head}-positive fraction {frac:.3f}")
+
+    if args.annot:
+        rows = read_interval_csv(args.annot)
+        marker = interval_annotations_to_markers(rows, len(labels))
+        conf, prec, rec, f1 = get_performance(labels, marker.astype(int),
+                                              [0, 1])
+        print(f"frame P/R/F1 vs annotations: {prec} {rec} {f1}")
+
+    if args.out:
+        np.savez(args.out, prob=prob, labels=labels,
+                 **{f"track_{k}": v for k, v in tracks.items()})
+        print("saved:", args.out)
+    return prob, labels
+
+
+if __name__ == "__main__":
+    main()

@@ -54,21 +54,35 @@ class MTLHeads(nn.Module):
     ``with_noise`` adds the 5-class driver's N (noise) head and widens R
     to 3 units (SMNR: music, speech, noise ratios), matching the local
     ``MTL_modifications`` of ``5_class_classification.py:150-215``.
+
+    ``head_width`` / ``head_layers`` expose the tuning driver's search
+    space over per-head MLP shapes
+    (``B3_MTL_architecture_tuning.py:326-334``): each head is
+    ``head_layers`` Dense(head_width) blocks.
     """
     n_classes: int = 3
     with_noise: bool = False
+    head_width: int = 16
+    head_layers: int = 1
+
+    def _stack(self, x, name, train):
+        for i in range(self.head_layers):
+            x = HeadBlock(width=self.head_width,
+                          name=f"{name}{'_l' + str(i) if i else ''}")(
+                              x, train=train)
+        return x
 
     @nn.compact
     def __call__(self, x, *, train: bool):
         out = {}
-        s = HeadBlock(name="S_block")(x, train=train)
+        s = self._stack(x, "S_block", train)
         out["S"] = nn.sigmoid(nn.Dense(1, name="S_out")(s))
-        m = HeadBlock(name="M_block")(x, train=train)
+        m = self._stack(x, "M_block", train)
         out["M"] = nn.sigmoid(nn.Dense(1, name="M_out")(m))
         if self.with_noise:
-            n = HeadBlock(name="N_block")(x, train=train)
+            n = self._stack(x, "N_block", train)
             out["N"] = nn.sigmoid(nn.Dense(1, name="N_out")(n))
-        r = HeadBlock(name="R_block")(x, train=train)
+        r = self._stack(x, "R_block", train)
         r_dim = 3 if self.with_noise else 2
         out["R"] = nn.Dense(r_dim, name="R_out")(r)
         out["3C"] = nn.softmax(nn.Dense(self.n_classes, name="C_out")(x))

@@ -25,11 +25,17 @@ class LemaireTCN(nn.Module):
     n_classes: int = 3
     n_filters: int = 32
     nb_stacks: int = 3
+    kernel_size: int = 3
+    Nd: int = 8
+    use_skip_connections: bool = False
     dropout_rate: float = 0.275
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         x = TCN(n_filters=self.n_filters, nb_stacks=self.nb_stacks,
+                kernel_size=self.kernel_size,
+                dilations=tuple(2 ** d for d in range(self.Nd)),
+                use_skip_connections=self.use_skip_connections,
                 dropout_rate=self.dropout_rate,
                 name="tcn")(x, deterministic=not train)
         x = x.reshape((x.shape[0], -1))
@@ -41,13 +47,21 @@ class LemaireMTL(nn.Module):
     n_classes: int = 3
     n_filters: int = 32
     nb_stacks: int = 3
+    kernel_size: int = 3
+    Nd: int = 8
+    use_skip_connections: bool = False
     dropout_rate: float = 0.275
     cascaded: bool = False
     with_noise: bool = False
+    head_width: int = 16
+    head_layers: int = 1
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         x = TCN(n_filters=self.n_filters, nb_stacks=self.nb_stacks,
+                kernel_size=self.kernel_size,
+                dilations=tuple(2 ** d for d in range(self.Nd)),
+                use_skip_connections=self.use_skip_connections,
                 dropout_rate=self.dropout_rate,
                 name="tcn")(x, deterministic=not train)
         x = x.reshape((x.shape[0], -1))
@@ -55,6 +69,8 @@ class LemaireMTL(nn.Module):
             return CascadedMTLHeads(n_classes=self.n_classes,
                                     name="heads")(x, train=train)
         return MTLHeads(n_classes=self.n_classes, with_noise=self.with_noise,
+                        head_width=self.head_width,
+                        head_layers=self.head_layers,
                         name="heads")(x, train=train)
 
 

@@ -29,10 +29,18 @@ class ModelSpec:
 
 
 def get_model(name: str, *, n_classes: int = 3, n_mels: int = 120,
-              dropout_rate: float = 0.275) -> ModelSpec:
-    common_tcn = dict(n_classes=n_classes, dropout_rate=dropout_rate)
+              dropout_rate: float = 0.275, **arch_kwargs) -> ModelSpec:
+    """``arch_kwargs`` (Lemaire family only): kernel_size, Nd, nb_stacks,
+    n_filters, use_skip_connections, head_width, head_layers — the tuning
+    drivers' search space."""
+    if arch_kwargs and not name.startswith("Lemaire"):
+        raise ValueError(f"arch_kwargs not supported for {name!r}")
+    common_tcn = dict(n_classes=n_classes, dropout_rate=dropout_rate,
+                      **arch_kwargs)
     if name == "Lemaire_et_al":
-        return ModelSpec(LemaireTCN(**common_tcn), "time_mel", False)
+        kwargs = {k: v for k, v in common_tcn.items()
+                  if k not in ("head_width", "head_layers")}
+        return ModelSpec(LemaireTCN(**kwargs), "time_mel", False)
     if name == "Lemaire_et_al_MTL":
         return ModelSpec(LemaireMTL(**common_tcn), "time_mel", True,
                          ("S", "M", "R", "3C"))
@@ -40,11 +48,14 @@ def get_model(name: str, *, n_classes: int = 3, n_mels: int = 120,
         return ModelSpec(LemaireMTL(cascaded=True, **common_tcn), "time_mel",
                          True, ("S", "M", "R", "3C"))
     if name == "Lemaire_et_al_MTL_5class":
-        return ModelSpec(LemaireMTL(with_noise=True, n_classes=5,
-                                    dropout_rate=dropout_rate), "time_mel",
-                         True, ("S", "M", "N", "R", "3C"))
+        return ModelSpec(LemaireMTL(with_noise=True,
+                                    **{**common_tcn, "n_classes": 5}),
+                         "time_mel", True, ("S", "M", "N", "R", "3C"))
     if name == "Lemaire_et_al_MTL_IF":
-        return ModelSpec(LemaireMTLIntermediateFusion(**common_tcn), "dual",
+        kwargs = {k: v for k, v in common_tcn.items()
+                  if k not in ("head_width", "head_layers", "kernel_size",
+                               "Nd", "use_skip_connections")}
+        return ModelSpec(LemaireMTLIntermediateFusion(**kwargs), "dual",
                          True, ("S", "M", "R", "3C"))
     if name == "Doukhan_et_al":
         return ModelSpec(DoukhanCNN(n_classes=n_classes), "image", False)

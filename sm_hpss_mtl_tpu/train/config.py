@@ -67,6 +67,10 @@ class ExperimentConfig:
     frame_level_scaling: bool = False
     skewness_vector: str | None = None
     dropout_rate: float = 0.275
+    #: override the preset mel count (tuning sweeps); None = preset value
+    n_mels_override: int | None = None
+    #: architecture overrides for the Lemaire family (tuning drivers)
+    arch_kwargs: dict | None = None
     seed: int = 0
     # Derived step counts (0 = compute from durations).
     tr_steps: int = 0
@@ -84,11 +88,13 @@ class ExperimentConfig:
 
     def feature_config(self) -> FeatureConfig:
         preset = MODEL_PRESETS[self.model]
+        n_mels = (self.n_mels_override if self.n_mels_override is not None
+                  else preset["n_mels"])
         return FeatureConfig(
             feat_name=preset["feat_name"], n_fft=preset["n_fft"],
             win_length=int(self.Tw * 16000 / 1000),
             hop_length=int(self.Ts * 16000 / 1000),
-            n_mels=preset["n_mels"], l_harm=self.l_harm, l_perc=self.l_perc,
+            n_mels=n_mels, l_harm=self.l_harm, l_perc=self.l_perc,
             Tw=self.Tw, Ts=self.Ts)
 
     def with_steps_from_durations(self, total_duration_hours: dict

@@ -33,10 +33,22 @@ def mean_squared_error(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean((pred - target) ** 2)
 
 
-def mtl_loss(outputs: dict, labels: dict,
-             loss_weights: dict | None = None) -> tuple[jnp.ndarray, dict]:
+def hinge(p: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Keras hinge on a sigmoid output: labels mapped to ±1,
+    ``mean(max(0, 1 - y_pm * pred))`` — the alternative binary loss the
+    MTL tuning driver searches over
+    (``B3_MTL_architecture_tuning.py:333-334``)."""
+    p = jnp.squeeze(p, -1) if p.ndim > y.ndim else p
+    y_pm = 2.0 * y.astype(p.dtype) - 1.0
+    return jnp.mean(jnp.maximum(0.0, 1.0 - y_pm * p))
+
+
+def mtl_loss(outputs: dict, labels: dict, loss_weights: dict | None = None,
+             loss_types: dict | None = None) -> tuple[jnp.ndarray, dict]:
     """Weighted sum of per-head losses.  ``outputs``/``labels`` keyed by
-    head name (S, M, [N], R, 3C/NC).  Returns (total, per-head dict)."""
+    head name (S, M, [N], R, 3C/NC).  ``loss_types`` may override a
+    binary head's loss with 'hinge'.  Returns (total, per-head dict)."""
+    loss_types = loss_types or {}
     per_head = {}
     for key, out in outputs.items():
         y = labels[key]
@@ -44,6 +56,8 @@ def mtl_loss(outputs: dict, labels: dict,
             per_head[key] = mean_squared_error(out, y)
         elif key in ("3C", "NC"):
             per_head[key] = categorical_crossentropy(out, y)
+        elif loss_types.get(key) == "hinge":
+            per_head[key] = hinge(out, y)
         else:  # S, M, N binary heads
             per_head[key] = binary_crossentropy(out, y)
     weights = loss_weights or {}

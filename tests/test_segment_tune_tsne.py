@@ -1,0 +1,114 @@
+"""Tests for streaming segmentation, tuning drivers, and t-SNE prep."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sm_hpss_mtl_tpu.data import make_toy_musan
+from sm_hpss_mtl_tpu.eval.segment import (StreamingSegmenter,
+                                          interval_annotations_to_markers,
+                                          mode_filtering, smooth_predictions)
+
+
+@pytest.fixture(scope="module")
+def toy_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("toy_seg")
+    return make_toy_musan(str(root), n_per_class=9, duration_s=2.0)
+
+
+def test_interval_markers():
+    rows = [(0.0, 10.0, 1), (20.0, 10.0, 0), (30.0, 10.0, 1)]
+    m = interval_annotations_to_markers(rows, n_frames=40)
+    # total annotated span = 40 s -> 1 frame per second
+    assert m[:10].sum() == 10
+    assert m[20:30].sum() == 0      # label 0 intervals ignored
+    assert m[30:39].sum() >= 9
+
+
+def test_mode_filtering_matches_reference_loop():
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 3, 200)
+    win = 11
+    got = mode_filtering(x.copy(), win)
+    # reference loop oracle (DAFx12_...py:81-90)
+    want = x.copy()
+    half = win // 2
+    for i in range(half, len(x) - half):
+        w = x[i - half:i + half]
+        u, c = np.unique(w, return_counts=True)
+        want[i] = u[np.argmax(c)]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_smooth_predictions():
+    prob = np.array([0.0] * 50 + [1.0] * 50)
+    prob[10] = 1.0  # spike gets removed
+    sm, lab = smooth_predictions(prob, 5)
+    assert lab[10] == 0 and lab[75] == 1
+
+
+def test_streaming_segmenter_chunks():
+    """A fake predictor marks windows whose mean exceeds 0; chunked
+    streaming must reproduce the whole track seamlessly."""
+    rng = np.random.default_rng(0)
+    D, T, W = 6, 500, 16
+    fv = (0.1 * rng.standard_normal((D, T)) - 1.0).astype(np.float32)
+    fv[:, 200:300] += 3.0
+
+    def fake_predict(batch):  # (B, W, D) time_mel
+        s = 20.0 * jnp.mean(batch, axis=(1, 2), keepdims=False)
+        return {"S": jax.nn.sigmoid(s)[:, None], "3C": jnp.zeros((batch.shape[0], 3))}
+
+    seg = StreamingSegmenter(predict_fn=fake_predict, patch_size=W,
+                             chunk_frames=100, feat_name="LogMelSpec",
+                             standardize=False)
+    prob, labels, tracks = seg.segment(fv, head="S", smooth_win=5)
+    assert len(prob) == T - W + 1
+    # the loud region should be detected
+    assert labels[240:260].mean() > 0.9
+    assert labels[:100].mean() < 0.2
+    # chunk boundaries leave no seams: recompute unchunked
+    seg2 = StreamingSegmenter(predict_fn=fake_predict, patch_size=W,
+                              chunk_frames=10000, feat_name="LogMelSpec",
+                              standardize=False)
+    prob2, _, _ = seg2.segment(fv, head="S", smooth_win=5)
+    np.testing.assert_allclose(prob, prob2, atol=1e-6)
+
+
+def test_tune_grid_tiny(toy_root, tmp_path):
+    from sm_hpss_mtl_tpu.cli import tune
+    rows, best = tune.main([
+        "--data", toy_root, "--output", str(tmp_path),
+        "--mode", "grid", "--param", "l_perc", "--epochs", "1",
+        "--batch-size", "2", "--patch-size", "16",
+        "--tr-steps", "1", "--v-steps", "1"])
+    assert len(rows) == 5
+    assert os.path.exists(tmp_path / "Performance_Tuning.csv")
+    assert np.isfinite(best["val_loss"])
+
+
+def test_tune_search_tiny(toy_root, tmp_path):
+    from sm_hpss_mtl_tpu.cli import tune
+    rows, best = tune.main([
+        "--data", toy_root, "--output", str(tmp_path),
+        "--mode", "search", "--space", "mtl-heads", "--trials", "2",
+        "--epochs", "1", "--batch-size", "2", "--patch-size", "16",
+        "--tr-steps", "1", "--v-steps", "1"])
+    assert len(rows) == 2
+    assert {"head_layers", "head_width"} <= set(rows[0])
+
+
+def test_tsne_cli(toy_root, tmp_path):
+    from sm_hpss_mtl_tpu.cli import tsne
+    out = str(tmp_path / "tsne.npz")
+    emb, y = tsne.main([
+        "--data", toy_root, "--out", out, "--feat-name", "LogMelSpec",
+        "--n-mels", "16", "--stat", "Row", "--patch-size", "16",
+        "--clusters", "5", "--max-patches", "50"])
+    assert emb.shape[1] == 2
+    assert len(np.unique(y)) == 3
+    assert os.path.exists(out)
