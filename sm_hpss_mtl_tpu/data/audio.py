@@ -22,6 +22,7 @@ import numpy as np
 from scipy.io import wavfile
 from scipy.signal import resample_poly
 
+from .. import native
 from ..ops import reference as ref
 from ..ops.mixing import normalize_signal_np
 from ..ops.silence import remove_silence
@@ -69,7 +70,8 @@ def load_and_preprocess_signal(path: str, Tw: int = 25, Ts: int = 10
     frame_size = int(Tw * fs / 1000)
     frame_shift = int(Ts * fs / 1000)
     energy = ref.rms_energy(x, frame_size, frame_shift)
-    x, _, _, _ = remove_silence(x, energy, fs, Tw, Ts)
+    rm = native.remove_silence if native.available() else remove_silence
+    x, _, _, _ = rm(x, energy, fs, Tw, Ts)
     while len(x) / fs < 0.1:
         x = np.append(x, x)
     return normalize_signal_np(x).astype(np.float32), fs

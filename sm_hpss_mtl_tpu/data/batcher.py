@@ -31,6 +31,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from .. import native
 from ..ops.patches import extract_patches_np, standardize_rows
 from .featurize import Featurizer
 
@@ -166,12 +167,14 @@ class BalancedBatcher:
             parts = [fv[:half], fv[half:]]
         else:
             parts = [fv]
+        use_native = native.available()
         out = []
         for part in parts:
             if not cfg.frame_level_scaling:
-                part = np.asarray(standardize_rows(part))
-            out.append(extract_patches_np(part, cfg.patch_size,
-                                          cfg.patch_shift))
+                part = (native.standardize_rows(part) if use_native
+                        else np.asarray(standardize_rows(part)))
+            ex = native.extract_patches if use_native else extract_patches_np
+            out.append(ex(part, cfg.patch_size, cfg.patch_shift))
         patches = np.concatenate(out, axis=1) if dual else out[0]
         if cfg.skewness_vector:
             from ..ops.stats import patch_statistics
