@@ -59,8 +59,13 @@ def _class_subset(files: dict, n_classes: int) -> dict:
 
 
 def run_fold(config: ExperimentConfig, cv_file_list: dict, fold: int,
-             verbose: bool = True) -> dict:
-    """Train + evaluate one fold; returns the results row."""
+             verbose: bool = True, resume: bool = True) -> dict:
+    """Train + evaluate one fold; returns the results row.
+
+    ``resume=True`` reproduces the reference's ``os.path.exists`` resume
+    idiom (``Proposed_Work_Results.py:336,376-384``): a finished fold's
+    checkpoint is restored instead of retrained.
+    """
     spec = get_model(config.model, n_classes=config.n_classes,
                      n_mels=max(config.feature_config().n_mels, 1),
                      dropout_rate=config.dropout_rate,
@@ -77,6 +82,15 @@ def run_fold(config: ExperimentConfig, cv_file_list: dict, fold: int,
     test_files = _class_subset(test_files, config.n_classes)
     tr_files, va_files = split_train_val(train_files, seed=config.seed)
 
+    fold_stats = None
+    if config.frame_level_scaling:
+        from ..data.stats import load_or_compute_fold_stats
+        stats_cache = os.path.join(
+            config.feature_dir or config.output_dir,
+            f"{config.model}_{feat_cfg.feat_name}_fold{fold}_stats.npz")
+        fold_stats = load_or_compute_fold_stats(
+            stats_cache, fz, config.data_root, train_files)
+
     dual = spec.input_kind == "dual"
     bcfg = BatcherConfig(
         batch_size=config.batch_size, patch_size=config.patch_size,
@@ -91,26 +105,43 @@ def run_fold(config: ExperimentConfig, cv_file_list: dict, fold: int,
             yield (x, labels) if spec.mtl else (x, labels["3C"])
 
     train_iter = DevicePrefetcher(_label_map(
-        BalancedBatcher(fz, config.data_root, tr_files, bcfg)))
+        BalancedBatcher(fz, config.data_root, tr_files, bcfg,
+                        fold_stats=fold_stats)))
     val_iter = DevicePrefetcher(_label_map(
         BalancedBatcher(fz, config.data_root, va_files,
                         replace(bcfg, augment_noise=False,
-                                seed=config.seed + 1))))
+                                seed=config.seed + 1),
+                        fold_stats=fold_stats)))
 
     optimizer, _ = for_model(config.model, tr_steps=max(config.tr_steps, 1))
     op_dir = os.path.join(config.output_dir, config.model,
                           feat_cfg.feat_name)
     os.makedirs(op_dir, exist_ok=True)
 
-    result = fit(spec.module, optimizer, train_iter, val_iter,
-                 mtl=spec.mtl, epochs=config.epochs,
-                 steps_per_epoch=max(config.tr_steps, 1),
-                 val_steps=max(config.v_steps, 1),
-                 loss_weights=config.loss_weights,
-                 rng=jax.random.PRNGKey(config.seed),
-                 checkpoint_dir=os.path.join(op_dir, f"fold{fold}_ckpt"),
-                 csv_log=os.path.join(op_dir, f"fold{fold}_log.csv"),
-                 verbose=verbose)
+    ckpt_dir = os.path.join(op_dir, f"fold{fold}_ckpt")
+    from ..train import TrainState, checkpoint_exists, restore_checkpoint
+    from ..train.loop import FitResult
+    if resume and checkpoint_exists(ckpt_dir):
+        sample_batch, _ = next(train_iter)
+        template = TrainState.create(spec.module, optimizer, sample_batch,
+                                     jax.random.PRNGKey(config.seed))
+        state, meta = restore_checkpoint(ckpt_dir, template)
+        result = FitResult(state=state,
+                           best_val_loss=meta.get("val_loss", float("nan")),
+                           best_epoch=meta.get("epoch", -1))
+        if verbose:
+            print(f"fold {fold}: restored checkpoint "
+                  f"(epoch {result.best_epoch})", flush=True)
+    else:
+        result = fit(spec.module, optimizer, train_iter, val_iter,
+                     mtl=spec.mtl, epochs=config.epochs,
+                     steps_per_epoch=max(config.tr_steps, 1),
+                     val_steps=max(config.v_steps, 1),
+                     loss_weights=config.loss_weights,
+                     rng=jax.random.PRNGKey(config.seed),
+                     checkpoint_dir=ckpt_dir,
+                     csv_log=os.path.join(op_dir, f"fold{fold}_log.csv"),
+                     verbose=verbose)
 
     predict = make_predict(spec.module)
     tester = FileWiseTester(
@@ -121,6 +152,7 @@ def run_fold(config: ExperimentConfig, cv_file_list: dict, fold: int,
         dual_tower=dual, patch_size=config.patch_size,
         test_patch_shift=config.test_patch_shift, mtl=spec.mtl,
         frame_level_scaling=config.frame_level_scaling,
+        fold_stats=fold_stats,
         skewness_vector=config.skewness_vector)
     test_res = tester.test_model(test_files, verbose=verbose)
 

@@ -6,3 +6,4 @@ from .state import TrainState, make_eval_step, make_predict, make_train_step  # 
 from .checkpoint import checkpoint_exists, restore_checkpoint, save_checkpoint  # noqa: F401
 from .config import MODEL_PRESETS, ExperimentConfig  # noqa: F401
 from .loop import FitResult, fit  # noqa: F401
+from .transfer import transfer_learn  # noqa: F401
