@@ -172,7 +172,8 @@ def run_fold(config: ExperimentConfig, cv_file_list: dict, fold: int,
 
 
 def run_experiment(config: ExperimentConfig, folds=None, *,
-                   smr_sweep: bool = False, verbose: bool = True) -> list:
+                   smr_sweep: bool = False, verbose: bool = True,
+                   resume: bool = True) -> list:
     with_noise = config.n_classes == 5
     cv_path = os.path.join(config.data_root,
                            "cv_info_5_class" if with_noise else "cv_info")
@@ -198,7 +199,8 @@ def run_experiment(config: ExperimentConfig, folds=None, *,
     folds = folds if folds is not None else range(config.cv_folds)
     results = []
     for fold in folds:
-        out = run_fold(config, cv_file_list, fold, verbose=verbose)
+        out = run_fold(config, cv_file_list, fold, verbose=verbose,
+                       resume=resume)
         if smr_sweep:
             sweep = out["tester"].smr_sweep(out["test_files"],
                                             config.test_smr_levels)

@@ -79,8 +79,12 @@ def sample_arch(rng: np.random.Generator, space: str) -> dict:
     raise ValueError(space)
 
 
-def _score(cfg: ExperimentConfig, fold: int) -> dict:
-    out = run_experiment(cfg, folds=[fold], verbose=False)[0]
+def _score(cfg: ExperimentConfig, fold: int, tag: str) -> dict:
+    # Per-trial output dir: trials must not share (or resume from) each
+    # other's checkpoints — their architectures differ.
+    cfg = dataclasses.replace(
+        cfg, output_dir=os.path.join(cfg.output_dir, tag))
+    out = run_experiment(cfg, folds=[fold], verbose=False, resume=False)[0]
     return {"val_loss": out["row"]["val_loss"],
             "accuracy": out["row"]["accuracy"]}
 
@@ -115,7 +119,7 @@ def main(argv=None):
     if args.mode == "grid":
         for value in GRID_RANGES[args.param]:
             cfg = _apply_grid_value(base, args.param, value)
-            score = _score(cfg, args.fold)
+            score = _score(cfg, args.fold, f"{args.param}_{value if not isinstance(value, dict) else max(value, key=value.get)}")
             row = {args.param: str(value), **score}
             rows.append(row)
             append_results(args.output, args.fold, row, suffix="Tuning")
@@ -126,7 +130,7 @@ def main(argv=None):
         for t in range(args.trials):
             arch = sample_arch(rng, args.space)
             cfg = dataclasses.replace(base, arch_kwargs=arch)
-            score = _score(cfg, args.fold)
+            score = _score(cfg, args.fold, f"trial{t}")
             row = {"trial": t, **arch, **score}
             rows.append(row)
             append_results(args.output, args.fold, row, suffix="Tuning")
