@@ -100,6 +100,10 @@ def _stft_reim(y: jax.Array, n_fft: int, win_length: int, hop_length: int):
     views = [jax.lax.slice(x, (0, j, 0), (x.shape[0], j + s * (T - 1) + 1, g),
                            (1, s, 1)) for j in range(k)]      # k x (B, T, g)
     frames = jnp.concatenate(views, axis=-1)                  # (B, T, n_fft)
+    # Keep XLA from fusing the strided-slice assembly INTO the matmul —
+    # fused, the convolutional gather runs inside the MXU loop and the
+    # whole STFT is ~3x slower (measured on v5e: 5.4 ms vs 1.7 ms).
+    frames = jax.lax.optimization_barrier(frames)
 
     kernel = jnp.asarray(_dft_kernel(n_fft, win_length)[:, 0, :])  # (2F, n_fft)
     out = jnp.einsum("btn,fn->bft", frames, kernel,
