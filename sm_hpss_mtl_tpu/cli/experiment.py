@@ -113,7 +113,9 @@ def run_fold(config: ExperimentConfig, cv_file_list: dict, fold: int,
                                 seed=config.seed + 1),
                         fold_stats=fold_stats)))
 
-    optimizer, _ = for_model(config.model, tr_steps=max(config.tr_steps, 1))
+    optimizer, _ = for_model(config.model,
+                             tr_steps=max(config.lr_schedule_steps
+                                          or config.tr_steps, 1))
     op_dir = os.path.join(config.output_dir, config.model,
                           feat_cfg.feat_name)
     os.makedirs(op_dir, exist_ok=True)

@@ -29,6 +29,9 @@ def build_parser(default_model: str = "Lemaire_et_al_MTL"):
     p.add_argument("--tr-steps", type=int, default=0,
                    help="override derived steps/epoch (0 = derive)")
     p.add_argument("--v-steps", type=int, default=0)
+    p.add_argument("--lr-schedule-steps", type=int, default=0,
+                   help="decay horizon for the Lemaire SGD schedule; set "
+                        "when overriding --tr-steps to a small value")
     p.add_argument("--no-augment", action="store_true")
     p.add_argument("--smr-sweep", action="store_true")
     p.add_argument("--loss-weights", default=None,
@@ -49,6 +52,7 @@ def config_from_args(args) -> ExperimentConfig:
         batch_size=args.batch_size, n_classes=args.n_classes,
         patch_size=args.patch_size, patch_shift=args.patch_shift,
         tr_steps=args.tr_steps, v_steps=args.v_steps,
+        lr_schedule_steps=args.lr_schedule_steps,
         augment_noise=not args.no_augment, loss_weights=lw,
         skewness_vector=args.skewness_vector, seed=args.seed)
 

@@ -76,6 +76,11 @@ class ExperimentConfig:
     tr_steps: int = 0
     v_steps: int = 0
     ts_steps: int = 0
+    #: Horizon for the Lemaire SGD ExponentialDecay (0 = tr_steps).  The
+    #: reference ties decay_steps to 3*TR_STEPS, which collapses the lr
+    #: within a few epochs when tr_steps is overridden to a tiny value
+    #: (smoke runs); set this to the realistic epoch size in that case.
+    lr_schedule_steps: int = 0
 
     @property
     def feat_name(self) -> str:
