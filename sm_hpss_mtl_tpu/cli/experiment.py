@@ -136,7 +136,8 @@ def run_fold(config: ExperimentConfig, cv_file_list: dict, fold: int,
                   f"(epoch {result.best_epoch})", flush=True)
     else:
         result = fit(spec.module, optimizer, train_iter, val_iter,
-                     mtl=spec.mtl, epochs=config.epochs,
+                     mtl=spec.mtl, l2_reg=config.l2_reg if spec.mtl else 0.0,
+                     epochs=config.epochs,
                      steps_per_epoch=max(config.tr_steps, 1),
                      val_steps=max(config.v_steps, 1),
                      loss_weights=config.loss_weights,
@@ -161,6 +162,21 @@ def run_fold(config: ExperimentConfig, cv_file_list: dict, fold: int,
     row = {"val_loss": round(result.best_val_loss, 4),
            "epochs_run": len(result.history),
            "train_time_s": round(result.training_time, 1)}
+    if config.ts_steps:
+        # The reference's evaluate-on-generator metrics (TS_STEPS batches
+        # of the balanced test stream).
+        from ..train.loop import evaluate_generator
+        test_iter = _label_map(
+            BalancedBatcher(fz, config.data_root, test_files,
+                            replace(bcfg, augment_noise=False,
+                                    seed=config.seed + 2),
+                            fold_stats=fold_stats))
+        gen = evaluate_generator(spec.module, result.state, test_iter,
+                                 max(min(config.ts_steps, 200), 1),
+                                 mtl=spec.mtl,
+                                 loss_weights=config.loss_weights)
+        row["gen_loss"] = round(gen["loss"], 4)
+        row["gen_accuracy"] = round(gen["accuracy"], 4)
     from ..eval.metrics import accuracy
     row["accuracy"] = accuracy(test_res["ConfMat"])
     class_names = (["mu", "sp", "spmu", "no", "spno"])[:config.n_classes]

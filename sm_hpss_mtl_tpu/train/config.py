@@ -71,6 +71,10 @@ class ExperimentConfig:
     n_mels_override: int | None = None
     #: architecture overrides for the Lemaire family (tuning drivers)
     arch_kwargs: dict | None = None
+    #: Keras kernel_regularizer=l2() strength on head/mel-kernel weights
+    #: (the reference compiles its MTL heads and Jang layers with l2(),
+    #: default 0.01); 0 disables
+    l2_reg: float = 0.01
     seed: int = 0
     # Derived step counts (0 = compute from durations).
     tr_steps: int = 0

@@ -42,7 +42,7 @@ def _mean_metrics(rows: list[dict]) -> dict:
 def fit(model, optimizer, train_iter, val_iter, *, mtl: bool,
         epochs: int, steps_per_epoch: int, val_steps: int,
         state: TrainState | None = None, sample_batch=None,
-        loss_weights: dict | None = None, rng=None,
+        loss_weights: dict | None = None, l2_reg: float = 0.0, rng=None,
         patience: int = 5, min_delta: float = 0.01,
         checkpoint_dir: str | None = None, csv_log: str | None = None,
         verbose: bool = True) -> FitResult:
@@ -54,7 +54,7 @@ def fit(model, optimizer, train_iter, val_iter, *, mtl: bool,
         state = TrainState.create(model, optimizer, sample_batch, rng)
 
     train_step = make_train_step(model, optimizer, mtl=mtl,
-                                 loss_weights=loss_weights)
+                                 loss_weights=loss_weights, l2_reg=l2_reg)
     eval_step = make_eval_step(model, mtl=mtl, loss_weights=loss_weights)
 
     result = FitResult(state=state)
@@ -126,3 +126,16 @@ def fit(model, optimizer, train_iter, val_iter, *, mtl: bool,
     else:
         result.state = state
     return result
+
+
+def evaluate_generator(model, state: TrainState, test_iter, steps: int, *,
+                       mtl: bool, loss_weights: dict | None = None) -> dict:
+    """Mean metrics over ``steps`` balanced test batches — the
+    reference's ``model.evaluate(generator, steps=TS_STEPS)``
+    (``Proposed_Work_Results.py:678-700``)."""
+    eval_step = make_eval_step(model, mtl=mtl, loss_weights=loss_weights)
+    rows = []
+    for _ in range(steps):
+        batch, labels = next(test_iter)
+        rows.append(eval_step(state, batch, labels))
+    return _mean_metrics(rows)

@@ -82,3 +82,15 @@ def test_make_folds_cli(toy_root, tmp_path):
     make_folds.main(["--data", toy_root, "--output", str(tmp_path / "cv")])
     assert os.path.exists(tmp_path / "cv" / "cv_file_list.pkl")
     assert os.path.exists(tmp_path / "cv" / "fold2.csv")
+
+
+def test_generator_evaluation_metrics(toy_root, tmp_path):
+    cfg = ExperimentConfig(
+        model="Lemaire_et_al_MTL", data_root=toy_root,
+        feature_dir=str(tmp_path / "features"),
+        output_dir=str(tmp_path / "results"),
+        epochs=1, batch_size=2, patch_size=16, patch_shift=16,
+        tr_steps=1, v_steps=1, ts_steps=2, augment_noise=False)
+    out = run_experiment(cfg, folds=[0], verbose=False)[0]
+    assert "gen_loss" in out["row"] and "gen_accuracy" in out["row"]
+    assert np.isfinite(out["row"]["gen_loss"])
