@@ -120,6 +120,15 @@ def run_fold(config: ExperimentConfig, cv_file_list: dict, fold: int,
                           feat_cfg.feat_name)
     os.makedirs(op_dir, exist_ok=True)
 
+    summary_path = os.path.join(op_dir, "model_summary.txt")
+    if not os.path.exists(summary_path):
+        try:
+            from ..utils.results import dump_model_summary
+            sample, _ = next(train_iter)
+            dump_model_summary(summary_path, spec.module, sample)
+        except Exception as e:  # summary is best-effort, never fatal
+            print(f"model summary skipped: {type(e).__name__}: {e}")
+
     ckpt_dir = os.path.join(op_dir, f"fold{fold}_ckpt")
     from ..train import TrainState, checkpoint_exists, restore_checkpoint
     from ..train.loop import FitResult

@@ -56,25 +56,73 @@ def mixture_cache_name(sp_path: str, mu_path: str, target_db) -> str:
     return stem(sp_path or mu_path)
 
 
+def bucket_length(n: int, min_n: int = 16000, ratio: float = 1.1) -> int:
+    """Geometric length buckets: the smallest grid point >= n.
+
+    Every distinct audio length compiles a fresh XLA program; on a
+    corpus of ragged files that is thousands of (slow, remote) compiles.
+    Bucketing caps the number of compiled shapes at
+    ~log_ratio(max/min) ≈ 50 for 1 s..3 h at ratio 1.1.
+    """
+    m = min_n
+    while m < n:
+        m = int(m * ratio) + 1
+    return m
+
+
+def _reflect_pad_to(x: np.ndarray, target: int) -> np.ndarray:
+    """Pad 1-D ``x`` to ``target`` samples by repeated symmetric
+    reflection (handles pads longer than the signal)."""
+    out = x
+    flip = True
+    while len(out) < target:
+        out = np.concatenate([out, x[::-1] if flip else x])
+        flip = not flip
+    return out[:target]
+
+
 class Featurizer:
-    """Callable file -> (D, T) featuregram with optional disk cache."""
+    """Callable file -> (D, T) featuregram with optional disk cache.
+
+    ``bucket=True`` (default) reflect-pads audio up to a geometric
+    length bucket before the device computation and slices the result to
+    the exact frame count.  Frames 0..T-1 of the STFT are bit-identical
+    to the exact-length computation (framing only looks forward);
+    the HPSS harmonic median of the last ``l_harm//2`` frames (~100 ms)
+    sees reflected-tail context instead of scipy's symmetric boundary —
+    a documented approximation of the training cache.  ``bucket=False``
+    gives the exact-boundary path (used by parity tests and file-wise
+    evaluation when exactness matters over compile count).
+    """
 
     def __init__(self, config: FeatureConfig, cache_dir: str | None = None,
-                 use_pallas: bool | None = None):
+                 use_pallas: bool | None = None, bucket: bool = True):
         self.config = config
         self.cache_dir = cache_dir
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
+        self.bucket = bucket
 
     def _compute(self, audio: np.ndarray) -> np.ndarray:
         c = self.config
+        n = len(audio)
+        valid = None
+        true_T = None
+        if self.bucket:
+            from ..ops.stft import n_frames
+            true_T = n_frames(n, c.n_fft, c.hop_length)
+            audio = _reflect_pad_to(audio, bucket_length(n))
+            valid = jnp.asarray(true_T, jnp.int32)
         out = fg.featuregram(
             jnp.asarray(audio), feat_name=c.feat_name, sr=c.sr,
             n_fft=c.n_fft, win_length=c.win_length, hop_length=c.hop_length,
             n_mels=c.n_mels, l_harm=c.l_harm, l_perc=c.l_perc,
-            use_pallas=self.use_pallas)
-        return np.asarray(out, dtype=np.float32)
+            use_pallas=self.use_pallas, valid_frames=valid)
+        out = np.asarray(out, dtype=np.float32)
+        if self.bucket:
+            out = out[:, :true_T]
+        return out
 
     def featuregram(self, classname: str, sp_path: str = "",
                     mu_path: str = "", target_db=None,

@@ -76,13 +76,15 @@ def _parse(feat_name: str):
 def featuregram(y: jax.Array, *, feat_name: str, sr: int = 16000,
                 n_fft: int = 400, win_length: int = 400, hop_length: int = 160,
                 n_mels: int = 120, l_harm: int = 21, l_perc: int = 11,
-                use_pallas: bool = False) -> jax.Array:
+                use_pallas: bool = False, valid_frames=None) -> jax.Array:
     """Compute the featuregram for audio ``(..., n_samples)`` ->
     ``(..., D, T)``.
 
     ``use_pallas`` switches the HPSS median+mask stage to the fused Pallas
     TPU kernel (``ops.hpss_pallas``); the default jnp path is used for CPU
-    tests and as the correctness oracle.
+    tests and as the correctness oracle.  ``valid_frames`` (traced scalar)
+    limits the data-dependent power_to_db clamp to real frames when the
+    audio was length-padded (see ``data.featurize.Featurizer``).
     """
     log, mel, harm, perc = _parse(feat_name)
 
@@ -96,7 +98,7 @@ def featuregram(y: jax.Array, *, feat_name: str, sr: int = 16000,
             fv = stft_mod.stft_mag(y, n_fft=n_fft, win_length=win_length,
                                    hop_length=hop_length)
         if log:
-            fv = mel_mod.power_to_db(fv ** 2)
+            fv = mel_mod.power_to_db(fv ** 2, valid_len=valid_frames)
         return fv.astype(jnp.float32)
 
     # HPSS branches.
@@ -115,7 +117,7 @@ def featuregram(y: jax.Array, *, feat_name: str, sr: int = 16000,
         if log:
             # power_to_db(fv**2): the reference squares the (already
             # magnitude-domain) feature before the dB map.
-            fv = mel_mod.power_to_db(fv ** 2)
+            fv = mel_mod.power_to_db(fv ** 2, valid_len=valid_frames)
         return fv.astype(jnp.float32)
 
     parts = []

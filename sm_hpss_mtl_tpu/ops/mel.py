@@ -51,16 +51,24 @@ def apply_mel(S: jax.Array, *, sr: int, n_mels: int) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("ref_value", "amin", "top_db"))
 def power_to_db(S: jax.Array, *, ref_value: float = 1.0, amin: float = 1e-10,
-                top_db: float | None = 80.0) -> jax.Array:
+                top_db: float | None = 80.0,
+                valid_len=None) -> jax.Array:
     """``librosa.core.power_to_db`` semantics on device.
 
     The ``top_db`` clamp references the max over the *last two* axes (one
-    spectrogram), matching librosa's per-array max when vmapped/batched over
-    leading axes.
+    spectrogram), matching librosa's per-array max when vmapped/batched
+    over leading axes.  ``valid_len`` (traced scalar) restricts that max
+    to the first ``valid_len`` frames — used by the length-bucketed
+    featurizer so padding frames cannot shift the clamp threshold.
     """
     log_spec = 10.0 * jnp.log10(jnp.maximum(amin, S))
     log_spec = log_spec - 10.0 * jnp.log10(jnp.maximum(amin, ref_value))
     if top_db is not None:
-        peak = jnp.max(log_spec, axis=(-2, -1), keepdims=True)
+        if valid_len is not None:
+            t = jnp.arange(S.shape[-1]) < valid_len
+            masked = jnp.where(t, log_spec, -jnp.inf)
+            peak = jnp.max(masked, axis=(-2, -1), keepdims=True)
+        else:
+            peak = jnp.max(log_spec, axis=(-2, -1), keepdims=True)
         log_spec = jnp.maximum(log_spec, peak - top_db)
     return log_spec

@@ -39,3 +39,22 @@ def dump_configuration(op_dir: str, config) -> str:
             except TypeError:
                 f.write(f"{k}\tERROR\n")
     return path
+
+
+def dump_model_summary(path: str, module, sample_input, *,
+                       train: bool = False) -> str:
+    """Write a Keras-style layer table (``misc.print_model_summary``,
+    ``/root/reference/lib/misc.py:184-189``) via ``flax.linen.tabulate``."""
+    import os
+
+    import flax.linen as nn
+    import jax
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    table = nn.tabulate(
+        module, jax.random.PRNGKey(0),
+        compute_flops=False, compute_vjp_flops=False)(
+        sample_input, train=train)
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(table)
+    return path

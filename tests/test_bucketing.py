@@ -1,0 +1,52 @@
+"""Length-bucketed featurization: compile-count control with bounded
+boundary deviation."""
+
+import numpy as np
+import pytest
+
+from sm_hpss_mtl_tpu.data.featurize import (FeatureConfig, Featurizer,
+                                            _reflect_pad_to, bucket_length)
+
+
+def test_bucket_length_grid():
+    assert bucket_length(16000) == 16000
+    assert bucket_length(16001) > 16001
+    # grid is shared: nearby lengths map to the same bucket
+    assert bucket_length(17000) == bucket_length(17500)
+    # ~50 distinct buckets from 1 s to 3 h
+    lens = {bucket_length(n) for n in range(16000, 16000 * 3600 * 3, 160000)}
+    assert len(lens) < 80
+
+
+def test_reflect_pad():
+    x = np.arange(5, dtype=np.float32)
+    out = _reflect_pad_to(x, 12)
+    assert len(out) == 12
+    np.testing.assert_array_equal(out[:5], x)
+    np.testing.assert_array_equal(out[5:10], x[::-1])
+    assert np.isfinite(out).all()
+    # pad longer than several signal lengths works
+    assert len(_reflect_pad_to(x, 23)) == 23
+
+
+@pytest.mark.parametrize("feat_name", ["LogMelSpec", "LogMelHarmPercSpec"])
+def test_bucketed_matches_exact_interior(rng, feat_name):
+    """Bucketed features must be identical to the exact computation on
+    all frames except the last l_harm//2 (harmonic-median halo)."""
+    fs = 16000
+    n = int(1.37 * fs)  # deliberately off-grid length
+    x = (0.2 * rng.standard_normal(n)).astype(np.float32)
+    x += np.sin(2 * np.pi * 440 * np.arange(n) / fs).astype(np.float32)
+
+    cfg = FeatureConfig(feat_name=feat_name, n_mels=24)
+    exact = Featurizer(cfg, bucket=False)
+    bucketed = Featurizer(cfg, bucket=True)
+    fv_e = exact._compute(x)
+    fv_b = bucketed._compute(x)
+    assert fv_e.shape == fv_b.shape
+    halo = cfg.l_harm // 2 if "Harm" in feat_name or "Perc" in feat_name else 0
+    T = fv_e.shape[1]
+    np.testing.assert_allclose(fv_b[:, :T - halo], fv_e[:, :T - halo],
+                               rtol=1e-4, atol=1e-3)
+    # Even the halo frames stay close (reflected context).
+    assert np.max(np.abs(fv_b - fv_e)) < 20.0  # dB scale sanity

@@ -166,3 +166,13 @@ def test_prefetcher(batcher):
     assert len(batches) == 3
     x, labels = batches[0]
     assert x.shape[0] == 9
+
+
+def test_balance_data_fallback(rng):
+    from sm_hpss_mtl_tpu.data import balance_data
+    x = rng.standard_normal((30, 4))
+    y = np.array([0] * 20 + [1] * 10)
+    xb, yb = balance_data(x, y, seed=0)
+    u, c = np.unique(yb, return_counts=True)
+    assert c[0] == c[1] == 20
+    assert xb.shape[0] == 40

@@ -94,3 +94,18 @@ def test_generator_evaluation_metrics(toy_root, tmp_path):
     out = run_experiment(cfg, folds=[0], verbose=False)[0]
     assert "gen_loss" in out["row"] and "gen_accuracy" in out["row"]
     assert np.isfinite(out["row"]["gen_loss"])
+
+
+def test_doukhan_mtl_end_to_end(toy_root, tmp_path):
+    # Image-kind model through the full pipeline. n_mels=20 keeps the
+    # Doukhan conv stack valid at patch 68 (rows 2*20=40).
+    import dataclasses
+    cfg = ExperimentConfig(
+        model="Doukhan_et_al_MTL", data_root=toy_root,
+        feature_dir=str(tmp_path / "features"),
+        output_dir=str(tmp_path / "results"),
+        epochs=1, batch_size=2, patch_size=68, patch_shift=68,
+        tr_steps=1, v_steps=1, augment_noise=False, n_mels_override=20)
+    out = run_experiment(cfg, folds=[0], verbose=False)[0]
+    assert np.isfinite(out["row"]["val_loss"])
+    assert out["test"]["ConfMat"].shape == (3, 3)
