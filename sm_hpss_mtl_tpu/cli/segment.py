@@ -15,7 +15,6 @@ time-interval annotation CSVs, and write per-frame labels.
 from __future__ import annotations
 
 import argparse
-import os
 
 import numpy as np
 

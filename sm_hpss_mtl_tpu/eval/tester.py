@@ -17,11 +17,10 @@ padded up to the next power of two and masked).
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 from ..data.batcher import scale_frames

@@ -30,7 +30,6 @@ Inputs NHWC: single-task ``(B, 257, T, 1)``; MTL ``(B, 514, T, 1)``
 from __future__ import annotations
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 import numpy as np
 

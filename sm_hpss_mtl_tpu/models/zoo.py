@@ -10,7 +10,7 @@ driver scripts rather than model names.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from .cnn import DoukhanCNN, PapakostasCNN
 from .jang import JangCNN

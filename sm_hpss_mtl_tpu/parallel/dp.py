@@ -15,7 +15,7 @@ from typing import Callable
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..train.state import TrainState, make_train_step
+from ..train.state import make_train_step
 
 
 def shard_batch(tree, mesh: Mesh):

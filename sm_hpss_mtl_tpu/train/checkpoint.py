@@ -12,7 +12,6 @@ and the config dict.
 from __future__ import annotations
 
 import os
-from typing import Any
 
 import jax
 import orbax.checkpoint as ocp

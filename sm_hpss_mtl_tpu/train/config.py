@@ -13,7 +13,7 @@ and the derived TR/V/TS step counts computed from corpus duration
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 
 from ..data.featurize import FeatureConfig
 

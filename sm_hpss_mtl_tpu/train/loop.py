@@ -12,7 +12,6 @@ the caller.  Timing is recorded like the reference's
 
 from __future__ import annotations
 
-import copy
 import csv
 import os
 import time

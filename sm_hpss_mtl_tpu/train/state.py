@@ -10,7 +10,6 @@ for data parallelism (see ``sm_hpss_mtl_tpu.parallel``).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable
 
 import flax
