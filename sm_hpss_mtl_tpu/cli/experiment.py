@@ -96,7 +96,9 @@ def run_fold(config: ExperimentConfig, cv_file_list: dict, fold: int,
         batch_size=config.batch_size, patch_size=config.patch_size,
         patch_shift=config.patch_shift, feat_name=feat_cfg.feat_name,
         input_kind="time_mel" if dual else config.input_kind,
-        dual_tower=dual, augment_noise=config.augment_noise,
+        # Augmentation happens on device inside the train step; the host
+        # stream stays clean (and the val stream always is).
+        dual_tower=dual, augment_noise=False,
         frame_level_scaling=config.frame_level_scaling,
         skewness_vector=config.skewness_vector, seed=config.seed)
     def _label_map(it):
@@ -104,9 +106,12 @@ def run_fold(config: ExperimentConfig, cv_file_list: dict, fold: int,
         for x, labels in it:
             yield (x, labels) if spec.mtl else (x, labels["3C"])
 
-    train_iter = DevicePrefetcher(_label_map(
-        BalancedBatcher(fz, config.data_root, tr_files, bcfg,
-                        fold_stats=fold_stats)))
+    n_workers = max(config.prefetch_workers, 1)
+    train_iter = DevicePrefetcher([
+        _label_map(BalancedBatcher(fz, config.data_root, tr_files,
+                                   replace(bcfg, seed=config.seed + 100 + w),
+                                   fold_stats=fold_stats))
+        for w in range(n_workers)])
     val_iter = DevicePrefetcher(_label_map(
         BalancedBatcher(fz, config.data_root, va_files,
                         replace(bcfg, augment_noise=False,
@@ -146,6 +151,7 @@ def run_fold(config: ExperimentConfig, cv_file_list: dict, fold: int,
     else:
         result = fit(spec.module, optimizer, train_iter, val_iter,
                      mtl=spec.mtl, l2_reg=config.l2_reg if spec.mtl else 0.0,
+                     augment_noise=config.augment_noise,
                      epochs=config.epochs,
                      steps_per_epoch=max(config.tr_steps, 1),
                      val_steps=max(config.v_steps, 1),

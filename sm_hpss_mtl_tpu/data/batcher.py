@@ -182,7 +182,7 @@ class BalancedBatcher:
             stats = np.asarray(patch_statistics(patches, stat_type="skew",
                                                 axis=axis))
             patches = stats[:, :, None] if axis == 1 else stats[:, None, :]
-        return patches.astype(np.float32)
+        return np.asarray(patches, dtype=np.float32)
 
     # -- assembly ---------------------------------------------------------
     def _fill(self, classname: str):
@@ -223,7 +223,7 @@ class BalancedBatcher:
             x = x + self.rng.normal(0.0, scale, x.shape)
 
         labels = self._labels(dbs)
-        x = x.astype(np.float32)
+        x = np.ascontiguousarray(x, dtype=np.float32)
         if self.cfg.dual_tower:
             # Split the stacked [harm; perc] feature dim into the twin-tower
             # dict batch (Intermediate_Fusion_Results.py:47-318).

@@ -17,6 +17,7 @@ cache make this a first-epoch-only cost, matching the reference's
 from __future__ import annotations
 
 import os
+from collections import OrderedDict
 from dataclasses import dataclass
 
 import jax
@@ -96,13 +97,34 @@ class Featurizer:
     """
 
     def __init__(self, config: FeatureConfig, cache_dir: str | None = None,
-                 use_pallas: bool | None = None, bucket: bool = True):
+                 use_pallas: bool | None = None, bucket: bool = True,
+                 mem_cache_mb: int = 512):
         self.config = config
         self.cache_dir = cache_dir
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
         self.bucket = bucket
+        # Bounded in-memory LRU over the npy cache: avoids re-parsing +
+        # re-reading featuregrams the balanced batcher revisits often.
+        self._mem_cache: "OrderedDict[str, np.ndarray]" = OrderedDict()
+        self._mem_bytes = 0
+        self._mem_limit = mem_cache_mb * (1 << 20)
+
+    def _mem_get(self, key: str):
+        fv = self._mem_cache.get(key)
+        if fv is not None:
+            self._mem_cache.move_to_end(key)
+        return fv
+
+    def _mem_put(self, key: str, fv: np.ndarray):
+        if fv.nbytes > self._mem_limit:
+            return
+        self._mem_cache[key] = fv
+        self._mem_bytes += fv.nbytes
+        while self._mem_bytes > self._mem_limit:
+            _, old = self._mem_cache.popitem(last=False)
+            self._mem_bytes -= old.nbytes
 
     def _compute(self, audio: np.ndarray) -> np.ndarray:
         c = self.config
@@ -130,11 +152,17 @@ class Featurizer:
         """Featuregram for one item; ``classname`` in {'speech', 'music',
         'speech_music', 'speech_noise', 'noise', 'muspeak'}."""
         name = mixture_cache_name(sp_path, mu_path, target_db)
+        key = f"{classname}/{name}"
+        cached = self._mem_get(key)
+        if cached is not None:
+            return cached
         cache_path = None
         if self.cache_dir:
             cache_path = os.path.join(self.cache_dir, classname, name + ".npy")
             if os.path.exists(cache_path):
-                return np.load(cache_path, allow_pickle=False)
+                fv = np.load(cache_path, allow_pickle=False)
+                self._mem_put(key, fv)
+                return fv
 
         c = self.config
         if classname in ("speech_music", "speech_noise"):
@@ -150,4 +178,6 @@ class Featurizer:
         if cache_path and save_feat:
             os.makedirs(os.path.dirname(cache_path), exist_ok=True)
             np.save(cache_path, fv)
+        if save_feat:
+            self._mem_put(key, fv)
         return fv

@@ -18,32 +18,56 @@ import jax
 
 
 class DevicePrefetcher:
-    """Wrap a host batch iterator; yields device-resident batches."""
+    """Wrap host batch iterator(s); yields device-resident batches.
+
+    Pass a list of independent iterators (e.g. several
+    ``BalancedBatcher``s with different seeds) to overlap multiple host
+    pipelines — the native kernels release the GIL, so workers overlap
+    genuinely.  Each iterator gets its own thread; batches interleave in
+    completion order.
+    """
 
     _SENTINEL = object()
 
-    def __init__(self, iterator: Iterator, buffer_size: int = 2,
+    def __init__(self, iterator, buffer_size: int = 2,
                  max_batches: int | None = None, device=None):
-        self.iterator = iterator
+        iterators = iterator if isinstance(iterator, (list, tuple)) \
+            else [iterator]
         self.max_batches = max_batches
         self.device = device
-        self.q: queue.Queue = queue.Queue(maxsize=buffer_size)
+        self.q: queue.Queue = queue.Queue(
+            maxsize=max(buffer_size, len(iterators)))
         self.error = None
-        self.thread = threading.Thread(target=self._worker, daemon=True)
-        self.thread.start()
+        self._count_lock = threading.Lock()
+        self._count = 0
+        self.threads = [threading.Thread(target=self._worker, args=(it,),
+                                         daemon=True) for it in iterators]
+        self._live = len(self.threads)
+        for t in self.threads:
+            t.start()
 
-    def _worker(self):
+    def _take_slot(self) -> bool:
+        if self.max_batches is None:
+            return True
+        with self._count_lock:
+            if self._count >= self.max_batches:
+                return False
+            self._count += 1
+            return True
+
+    def _worker(self, iterator):
         try:
-            count = 0
-            for batch in self.iterator:
-                if self.max_batches is not None and count >= self.max_batches:
+            for batch in iterator:
+                if not self._take_slot():
                     break
                 self.q.put(jax.device_put(batch, self.device))
-                count += 1
         except Exception as e:  # surfaced on the consumer side
             self.error = e
         finally:
-            self.q.put(self._SENTINEL)
+            with self._count_lock:
+                self._live -= 1
+                if self._live == 0:
+                    self.q.put(self._SENTINEL)
 
     def __iter__(self):
         return self

@@ -75,6 +75,8 @@ class ExperimentConfig:
     #: (the reference compiles its MTL heads and Jang layers with l2(),
     #: default 0.01); 0 disables
     l2_reg: float = 0.01
+    #: parallel host pipelines feeding the training stream
+    prefetch_workers: int = 2
     seed: int = 0
     # Derived step counts (0 = compute from durations).
     tr_steps: int = 0

@@ -41,7 +41,8 @@ def _mean_metrics(rows: list[dict]) -> dict:
 def fit(model, optimizer, train_iter, val_iter, *, mtl: bool,
         epochs: int, steps_per_epoch: int, val_steps: int,
         state: TrainState | None = None, sample_batch=None,
-        loss_weights: dict | None = None, l2_reg: float = 0.0, rng=None,
+        loss_weights: dict | None = None, l2_reg: float = 0.0,
+        augment_noise: bool = False, rng=None,
         patience: int = 5, min_delta: float = 0.01,
         checkpoint_dir: str | None = None, csv_log: str | None = None,
         verbose: bool = True) -> FitResult:
@@ -53,7 +54,8 @@ def fit(model, optimizer, train_iter, val_iter, *, mtl: bool,
         state = TrainState.create(model, optimizer, sample_batch, rng)
 
     train_step = make_train_step(model, optimizer, mtl=mtl,
-                                 loss_weights=loss_weights, l2_reg=l2_reg)
+                                 loss_weights=loss_weights, l2_reg=l2_reg,
+                                 augment_noise=augment_noise)
     eval_step = make_eval_step(model, mtl=mtl, loss_weights=loss_weights)
 
     result = FitResult(state=state)

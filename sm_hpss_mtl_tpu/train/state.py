@@ -38,16 +38,44 @@ class TrainState:
                    step=jnp.zeros((), jnp.int32))
 
 
+#: Gaussian augmentation scales (``Proposed_Work_Results.py:240``).
+NOISE_SCALES = (5e-3, 1e-3, 5e-4, 1e-4)
+
+
+def _augment(batch, rng):
+    """The reference's noise augmentation (:239-242), on device: one
+    scale drawn per step from NOISE_SCALES, Gaussian noise added to the
+    whole batch.  Host-side this costs ~10 ms/batch of numpy RNG; here it
+    fuses into the forward pass."""
+    k1, k2 = jax.random.split(rng)
+
+    def leaf(x, key):
+        scale = jnp.asarray(NOISE_SCALES)[jax.random.randint(k1, (), 0, 4)]
+        return x + scale * jax.random.normal(key, x.shape, x.dtype)
+
+    if isinstance(batch, dict):
+        keys = jax.random.split(k2, len(batch))
+        return {k: leaf(v, key) for (k, v), key in
+                zip(sorted(batch.items()), keys)}
+    return leaf(batch, k2)
+
+
 def make_train_step(model, optimizer, *, mtl: bool,
                     loss_weights: dict | None = None,
-                    l2_reg: float = 0.0) -> Callable:
+                    l2_reg: float = 0.0,
+                    augment_noise: bool = False) -> Callable:
     """Build a jitted ``(state, batch, labels, rng) -> (state, metrics)``.
 
     ``l2_reg`` adds ``l2 * sum(kernel^2)`` over head Dense kernels,
     approximating Keras' per-layer ``kernel_regularizer=l2()`` terms.
+    ``augment_noise`` applies the reference's Gaussian augmentation on
+    device.
     """
 
     def loss_fn(params, batch_stats, batch, labels, rng):
+        if augment_noise:
+            rng, aug_rng = jax.random.split(rng)
+            batch = _augment(batch, aug_rng)
         outputs, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats}, batch,
             train=True, mutable=["batch_stats"], rngs={"dropout": rng})
