@@ -181,3 +181,75 @@ class Featurizer:
         if save_feat:
             self._mem_put(key, fv)
         return fv
+
+
+    # ------------------------------------------------------------------
+    # Bulk cache prewarming
+    # ------------------------------------------------------------------
+    def precompute(self, items: list[tuple], batch_size: int = 16,
+                   verbose: bool = False) -> int:
+        """Featurize many files at once, grouped by length bucket.
+
+        ``items``: list of (classname, sp_path, mu_path, target_db)
+        tuples (the ``featuregram`` signature).  Files sharing a length
+        bucket are stacked into device batches of up to ``batch_size`` —
+        one featuregram program per (bucket, batch) instead of one
+        per-file dispatch — then cached individually.  Returns the number
+        of newly computed featuregrams.
+        """
+        from ..ops.stft import n_frames
+
+        c = self.config
+        pending = []  # (key, cache_path, audio, true_T, bucket)
+        for classname, sp_path, mu_path, target_db in items:
+            name = mixture_cache_name(sp_path, mu_path, target_db)
+            key = f"{classname}/{name}"
+            cache_path = (os.path.join(self.cache_dir, classname,
+                                       name + ".npy")
+                          if self.cache_dir else None)
+            if cache_path and os.path.exists(cache_path):
+                continue
+            if classname in ("speech_music", "speech_noise"):
+                sp, _ = load_and_preprocess_signal(sp_path, c.Tw, c.Ts)
+                mu, _ = load_and_preprocess_signal(mu_path, c.Tw, c.Ts)
+                audio = mix_signals_np(sp, mu, target_db).astype(np.float32)
+            elif classname in ("speech", "muspeak"):
+                audio, _ = load_and_preprocess_signal(sp_path, c.Tw, c.Ts)
+            else:
+                audio, _ = load_and_preprocess_signal(mu_path, c.Tw, c.Ts)
+            true_T = n_frames(len(audio), c.n_fft, c.hop_length)
+            bucket = bucket_length(len(audio))
+            pending.append((key, cache_path, audio, true_T, bucket))
+
+        # Group by bucket; one batched program per group chunk.
+        by_bucket: dict[int, list] = {}
+        for entry in pending:
+            by_bucket.setdefault(entry[4], []).append(entry)
+
+        done = 0
+        for bucket, group in sorted(by_bucket.items()):
+            for i in range(0, len(group), batch_size):
+                chunk = group[i:i + batch_size]
+                batch = np.stack([_reflect_pad_to(e[2], bucket)
+                                  for e in chunk])
+                valid = jnp.asarray([e[3] for e in chunk], jnp.int32)
+                out = fg.featuregram(
+                    jnp.asarray(batch), feat_name=c.feat_name, sr=c.sr,
+                    n_fft=c.n_fft, win_length=c.win_length,
+                    hop_length=c.hop_length, n_mels=c.n_mels,
+                    l_harm=c.l_harm, l_perc=c.l_perc,
+                    use_pallas=self.use_pallas,
+                    valid_frames=valid[:, None, None])
+                out = np.asarray(out, dtype=np.float32)
+                for (key, cache_path, _, true_T, _), fv in zip(chunk, out):
+                    fv = fv[:, :true_T]
+                    if cache_path:
+                        os.makedirs(os.path.dirname(cache_path),
+                                    exist_ok=True)
+                        np.save(cache_path, fv)
+                    self._mem_put(key, fv)
+                    done += 1
+                if verbose:
+                    print(f"bucket {bucket}: {done}/{len(pending)} done",
+                          flush=True)
+        return done

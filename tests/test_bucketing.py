@@ -50,3 +50,33 @@ def test_bucketed_matches_exact_interior(rng, feat_name):
                                rtol=1e-4, atol=1e-3)
     # Even the halo frames stay close (reflected context).
     assert np.max(np.abs(fv_b - fv_e)) < 20.0  # dB scale sanity
+
+
+def test_precompute_matches_per_file(rng, tmp_path):
+    """Bulk precompute must produce byte-identical cache entries to the
+    per-file path."""
+    from sm_hpss_mtl_tpu.data import make_toy_musan
+    import os
+    root = make_toy_musan(str(tmp_path / "corpus"), n_per_class=4,
+                          duration_s=1.5)
+    cfg = FeatureConfig(feat_name="LogMelHarmPercSpec", n_mels=16)
+    items = [("music", "", os.path.join(root, "music", f), None)
+             for f in sorted(os.listdir(os.path.join(root, "music")))]
+    items += [("speech_music", os.path.join(root, "speech",
+                                            "speech-toy-0000.wav"),
+               os.path.join(root, "music", "music-toy-0001.wav"), 5)]
+
+    fz_bulk = Featurizer(cfg, cache_dir=str(tmp_path / "bulk"))
+    done = fz_bulk.precompute(items, batch_size=3)
+    assert done == len(items)
+    # second call: everything cached
+    assert fz_bulk.precompute(items) == 0
+
+    fz_single = Featurizer(cfg, cache_dir=str(tmp_path / "single"))
+    for cls, sp, mu, db in items:
+        fv1 = fz_single.featuregram(cls, sp, mu, db)
+        name_cls = cls
+        from sm_hpss_mtl_tpu.data.featurize import mixture_cache_name
+        name = mixture_cache_name(sp, mu, db)
+        fv2 = np.load(tmp_path / "bulk" / name_cls / (name + ".npy"))
+        np.testing.assert_allclose(fv2, fv1, atol=1e-5, rtol=1e-5)
