@@ -104,15 +104,24 @@ def featuregram(y: jax.Array, *, feat_name: str, sr: int = 16000,
     # HPSS branches.
     S = stft_mod.stft_mag(y, n_fft=n_fft, win_length=win_length,
                           hop_length=hop_length)
-    if use_pallas:
+    if use_pallas and mel:
+        # Fully fused kernel: medians + masks + mel projection in one
+        # pass; full-resolution H/P never leave the chip.
+        from . import hpss_pallas
+        M = mel_mod.mel_filterbank(_MEL_SR_QUIRK, n_fft, n_mels)
+        H, P = hpss_pallas.hpss_mel(S, M, l_harm=l_harm, l_perc=l_perc)
+        already_mel = True
+    elif use_pallas:
         from . import hpss_pallas
         H, P = hpss_pallas.hpss(S, l_harm=l_harm, l_perc=l_perc)
+        already_mel = False
     else:
         H, P = hpss_mod.hpss(S, l_harm=l_harm, l_perc=l_perc)
+        already_mel = False
 
     def _post(component):
         fv = component
-        if mel:
+        if mel and not already_mel:
             fv = mel_mod.apply_mel(fv, sr=_MEL_SR_QUIRK, n_mels=n_mels)
         if log:
             # power_to_db(fv**2): the reference squares the (already

@@ -98,24 +98,18 @@ def _apply_median_network(values: list, n: int):
 # Kernel
 # ---------------------------------------------------------------------------
 
-def _hpss_kernel(s_ref, h_ref, p_ref, *, F, TILE_T, l_harm, l_perc,
-                 power, mask_only):
+def _masks_from_tile(tile, F, TILE_T, l_harm, l_perc, power):
+    """Shared kernel body: medians + Wiener masks from one halo'd tile."""
     ht = l_harm // 2
     hp = l_perc // 2
-    tile = s_ref[0, 0]                       # (F + 2*hp, TILE_T + 2*ht)
 
-    # Harmonic: median over l_harm time shifts of the un-freq-padded rows.
     rows = tile[hp:hp + F, :]
     harm = _apply_median_network(
         [rows[:, k:k + TILE_T] for k in range(l_harm)], l_harm)
-
-    # Percussive: median over l_perc frequency shifts of the un-time-padded
-    # columns.
     cols = tile[:, ht:ht + TILE_T]
     perc = _apply_median_network(
         [cols[k:k + F, :] for k in range(l_perc)], l_perc)
 
-    # Wiener soft masks, librosa softmask semantics (power=2, zeros -> 0).
     z = jnp.maximum(harm, perc)
     bad = z < _F32_TINY
     zn = jnp.where(bad, 1.0, z)
@@ -124,12 +118,40 @@ def _hpss_kernel(s_ref, h_ref, p_ref, *, F, TILE_T, l_harm, l_perc,
     denom = jnp.where(bad, 1.0, hn + pn)
     mask_h = jnp.where(bad, 0.0, hn / denom)
     mask_p = jnp.where(bad, 0.0, pn / denom)
+    s_center = tile[hp:hp + F, ht:ht + TILE_T]
+    return mask_h, mask_p, s_center
 
+
+def _hpss_mel_kernel(s_ref, m_ref, h_ref, p_ref, *, F, TILE_T, l_harm,
+                     l_perc, power):
+    """Fully fused variant: medians + masks + mel projection in one pass.
+
+    The mel basis rides in VMEM (~100 KB) and the two ``(n_mels, F) @
+    (F, TILE_T)`` projections run on the MXU, so the full-resolution
+    H/P components never leave the chip — the kernel writes only the
+    mel-compressed features (the reference's Mel*/LogMel* HPSS branches,
+    ``lib/preprocessing.py:404-424``)."""
+    tile = s_ref[0, 0]
+    mask_h, mask_p, s_center = _masks_from_tile(tile, F, TILE_T, l_harm,
+                                                l_perc, power)
+    M = m_ref[...]                            # (n_mels, F)
+    h_ref[0, 0] = jax.lax.dot(M, s_center * mask_h,
+                              precision=jax.lax.Precision.HIGHEST,
+                              preferred_element_type=jnp.float32)
+    p_ref[0, 0] = jax.lax.dot(M, s_center * mask_p,
+                              precision=jax.lax.Precision.HIGHEST,
+                              preferred_element_type=jnp.float32)
+
+
+def _hpss_kernel(s_ref, h_ref, p_ref, *, F, TILE_T, l_harm, l_perc,
+                 power, mask_only):
+    tile = s_ref[0, 0]                       # (F + 2*hp, TILE_T + 2*ht)
+    mask_h, mask_p, s_center = _masks_from_tile(tile, F, TILE_T, l_harm,
+                                                l_perc, power)
     if mask_only:
         h_ref[0, 0] = mask_h
         p_ref[0, 0] = mask_p
     else:
-        s_center = tile[hp:hp + F, ht:ht + TILE_T]
         h_ref[0, 0] = s_center * mask_h
         p_ref[0, 0] = s_center * mask_p
 
@@ -245,3 +267,89 @@ def hpss_masks(S: jax.Array, *, l_harm: int = 21, l_perc: int = 11,
                interpret: bool = False) -> tuple[jax.Array, jax.Array]:
     """Fused-kernel HPSS soft masks: ``(..., F, T)`` -> ``(mask_h, mask_p)``."""
     return _dispatch(S, l_harm, l_perc, power, True, tile_t, interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("l_harm", "l_perc", "power", "tile_t", "interpret"))
+def _hpss_mel_pallas(S: jax.Array, M: jax.Array, *, l_harm: int,
+                     l_perc: int, power: float, tile_t: int,
+                     interpret: bool = False):
+    B, F, T = S.shape
+    n_mels = M.shape[0]
+    S = S.astype(jnp.float32)
+    tiles, nT = _pad_and_tile(S, l_harm, l_perc, tile_t)
+    W = tile_t + 2 * (l_harm // 2)
+    Fp = F + 2 * (l_perc // 2)
+
+    kernel = functools.partial(
+        _hpss_mel_kernel, F=F, TILE_T=tile_t, l_harm=l_harm, l_perc=l_perc,
+        power=power)
+
+    out_shape = jax.ShapeDtypeStruct((B, nT, n_mels, tile_t), jnp.float32)
+    grid = (B, nT)
+    in_specs = [
+        pl.BlockSpec((1, 1, Fp, W), lambda b, t: (b, t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_mels, F), lambda b, t: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((1, 1, n_mels, tile_t), lambda b, t: (b, t, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    ce = len(median_network(l_harm)) + len(median_network(l_perc))
+    H, P = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(out_shape, out_shape),
+        in_specs=in_specs,
+        out_specs=(out_spec, out_spec),
+        cost_estimate=pl.CostEstimate(
+            flops=((ce + 12) * F * tile_t * 2
+                   + 2 * n_mels * F * tile_t * 2) * B * nT,
+            bytes_accessed=(Fp * W + 2 * n_mels * tile_t) * 4 * B * nT,
+            transcendentals=0),
+        interpret=interpret,
+    )(tiles, M.astype(jnp.float32))
+
+    def _untile(X):
+        X = jnp.moveaxis(X, 1, 2).reshape(B, n_mels, nT * tile_t)
+        return X[:, :, :T]
+
+    return _untile(H), _untile(P)
+
+
+def hpss_mel(S: jax.Array, mel_basis, *, l_harm: int = 21, l_perc: int = 11,
+             power: float = 2.0, tile_t: int = 364,
+             interpret: bool = False) -> tuple[jax.Array, jax.Array]:
+    """Fused HPSS + mel projection: ``(..., F, T)`` magnitudes ->
+    ``(mel(H), mel(P))`` of shape ``(..., n_mels, T)``.
+
+    On non-TPU backends falls back to the jnp HPSS + mel matmul."""
+    squeeze = S.ndim == 2
+    if squeeze:
+        S = S[None]
+    lead = None
+    if S.ndim != 3:
+        lead = S.shape[:-2]
+        S = S.reshape((-1,) + S.shape[-2:])
+    M = jnp.asarray(mel_basis, jnp.float32)
+
+    if jax.default_backend() != "tpu" and not interpret:
+        from . import hpss as hpss_jnp
+        H, P = hpss_jnp.hpss(S, l_harm=l_harm, l_perc=l_perc, power=power)
+        einsum = functools.partial(jnp.einsum, "mf,bft->bmt",
+                                   precision=jax.lax.Precision.HIGHEST,
+                                   preferred_element_type=jnp.float32)
+        out = (einsum(M, H), einsum(M, P))
+    else:
+        tt = min(tile_t, max(128, 8 * -(-S.shape[-1] // 8)))
+        out = _hpss_mel_pallas(S, M, l_harm=l_harm, l_perc=l_perc,
+                               power=power, tile_t=tt, interpret=interpret)
+    H, P = out
+    if lead is not None:
+        H = H.reshape(lead + H.shape[-2:])
+        P = P.reshape(lead + P.shape[-2:])
+    if squeeze:
+        H, P = H[0], P[0]
+    return H, P
