@@ -109,3 +109,17 @@ def test_doukhan_mtl_end_to_end(toy_root, tmp_path):
     out = run_experiment(cfg, folds=[0], verbose=False)[0]
     assert np.isfinite(out["row"]["val_loss"])
     assert out["test"]["ConfMat"].shape == (3, 3)
+
+
+@pytest.mark.parametrize("model", ["Papakostas_et_al_MTL", "Jang_et_al_MTL"])
+def test_image_cnn_models_end_to_end(toy_root, tmp_path, model):
+    # Full-pipeline smoke for the remaining image-kind MTL models.
+    cfg = ExperimentConfig(
+        model=model, data_root=toy_root,
+        feature_dir=str(tmp_path / "features"),
+        output_dir=str(tmp_path / "results"),
+        epochs=1, batch_size=1, patch_size=68, patch_shift=68,
+        tr_steps=1, v_steps=1, augment_noise=False)
+    out = run_experiment(cfg, folds=[0], verbose=False)[0]
+    assert np.isfinite(out["row"]["val_loss"])
+    assert out["test"]["ConfMat"].shape == (3, 3)
