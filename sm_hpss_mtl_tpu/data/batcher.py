@@ -62,7 +62,12 @@ class BatcherConfig:
 
 
 class _ClassStream:
-    """One class's file queue + leftover patch buffer."""
+    """One class's file queue + leftover patch buffer.
+
+    ``take`` consumes from the front via a cursor and only copies the
+    ``n`` patches it returns — a long file's leftover buffer (thousands
+    of patches) is never recopied per batch (the reference's
+    ``np.append`` equivalent was quadratic, SURVEY.md §3.1)."""
 
     def __init__(self, items: list, rng: np.random.Generator):
         self.items = list(items)
@@ -70,6 +75,7 @@ class _ClassStream:
         self.rng = rng
         self.buf: list[np.ndarray] = []
         self.dbs: list[np.ndarray] = []
+        self.offset = 0  # consumed rows of buf[0]
         self.count = 0
 
     def next_item(self):
@@ -85,14 +91,25 @@ class _ClassStream:
         self.count += n
 
     def take(self, n: int):
-        data = np.concatenate(self.buf, axis=0)
-        dbs = np.concatenate(self.dbs, axis=0)
-        out, out_db = data[:n], dbs[:n]
-        rest, rest_db = data[n:], dbs[n:]
-        self.buf = [rest] if rest.size else []
-        self.dbs = [rest_db] if rest_db.size else []
+        out_parts, db_parts = [], []
+        need = n
+        while need > 0:
+            arr, dbs = self.buf[0], self.dbs[0]
+            avail = arr.shape[0] - self.offset
+            k = min(avail, need)
+            out_parts.append(arr[self.offset:self.offset + k])
+            db_parts.append(dbs[self.offset:self.offset + k])
+            self.offset += k
+            need -= k
+            if self.offset == arr.shape[0]:
+                self.buf.pop(0)
+                self.dbs.pop(0)
+                self.offset = 0
         self.count -= n
-        return out, out_db
+        if len(out_parts) == 1:
+            return out_parts[0], db_parts[0]
+        return (np.concatenate(out_parts, axis=0),
+                np.concatenate(db_parts, axis=0))
 
 
 class BalancedBatcher:
