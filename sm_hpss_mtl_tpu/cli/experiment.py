@@ -66,9 +66,11 @@ def run_fold(config: ExperimentConfig, cv_file_list: dict, fold: int,
     idiom (``Proposed_Work_Results.py:336,376-384``): a finished fold's
     checkpoint is restored instead of retrained.
     """
+    import jax.numpy as jnp
+    dtype = (jnp.bfloat16 if config.compute_dtype == "bfloat16" else None)
     spec = get_model(config.model, n_classes=config.n_classes,
                      n_mels=max(config.feature_config().n_mels, 1),
-                     dropout_rate=config.dropout_rate,
+                     dropout_rate=config.dropout_rate, dtype=dtype,
                      **(config.arch_kwargs or {}))
     feat_cfg = config.feature_config()
     cache_dir = (os.path.join(config.feature_dir, config.model,

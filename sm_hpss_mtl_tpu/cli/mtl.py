@@ -37,6 +37,8 @@ def build_parser(default_model: str = "Lemaire_et_al_MTL"):
     p.add_argument("--loss-weights", default=None,
                    help="e.g. 'S:0.5,M:0.5,R:0.5,3C:1.0'")
     p.add_argument("--skewness-vector", choices=["Row", "Col"], default=None)
+    p.add_argument("--bf16", action="store_true",
+                   help="mixed-precision compute (bfloat16 activations)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -54,6 +56,7 @@ def config_from_args(args) -> ExperimentConfig:
         tr_steps=args.tr_steps, v_steps=args.v_steps,
         lr_schedule_steps=args.lr_schedule_steps,
         augment_noise=not args.no_augment, loss_weights=lw,
+        compute_dtype="bfloat16" if args.bf16 else "float32",
         skewness_vector=args.skewness_vector, seed=args.seed)
 
 

@@ -44,11 +44,12 @@ class _ConvBNRelu(nn.Module):
     kernel: tuple
     strides: tuple = (1, 1)
     padding: str = "VALID"
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, *, train: bool):
         x = nn.Conv(self.features, self.kernel, strides=self.strides,
-                    padding=self.padding, name="conv")(x)
+                    padding=self.padding, dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, name="bn", **BN_KW)(x)
         return nn.relu(x)
 
@@ -56,10 +57,11 @@ class _ConvBNRelu(nn.Module):
 class _DenseBNReluDrop(nn.Module):
     features: int
     dropout: float
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, *, train: bool):
-        x = nn.Dense(self.features, name="dense")(x)
+        x = nn.Dense(self.features, dtype=self.dtype, name="dense")(x)
         x = nn.BatchNorm(use_running_average=not train, name="bn", **BN_KW)(x)
         x = nn.relu(x)
         return nn.Dropout(self.dropout, deterministic=not train)(x)
@@ -69,45 +71,58 @@ class DoukhanCNN(nn.Module):
     """4 conv + 4x Dense-512 trunk; ``mtl=False`` -> softmax only."""
     n_classes: int = 3
     mtl: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        x = _ConvBNRelu(64, (4, 5), name="c1")(x, train=train)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        x = _ConvBNRelu(64, (4, 5), dtype=self.dtype, name="c1")(x, train=train)
         x = nn.max_pool(x, (2, 2), strides=(2, 2), padding="VALID")
-        x = _ConvBNRelu(128, (3, 3), name="c2")(x, train=train)
-        x = _ConvBNRelu(128, (3, 3), name="c3")(x, train=train)
+        x = _ConvBNRelu(128, (3, 3), dtype=self.dtype, name="c2")(x, train=train)
+        x = _ConvBNRelu(128, (3, 3), dtype=self.dtype, name="c3")(x, train=train)
         x = nn.max_pool(x, (2, 2), strides=(2, 2), padding="SAME")
-        x = _ConvBNRelu(256, (3, 3), name="c4")(x, train=train)
+        x = _ConvBNRelu(256, (3, 3), dtype=self.dtype, name="c4")(x, train=train)
         x = nn.max_pool(x, (1, 12), strides=(1, 12), padding="VALID")
         x = x.reshape((x.shape[0], -1))
         for i, rate in enumerate([0.2, 0.3, 0.4, 0.5]):
-            x = _DenseBNReluDrop(512, rate, name=f"fc{i + 1}")(x, train=train)
+            x = _DenseBNReluDrop(512, rate, dtype=self.dtype, name=f"fc{i + 1}")(x, train=train)
         if self.mtl:
-            return MTLHeads(n_classes=self.n_classes, name="heads")(x, train=train)
-        return nn.softmax(nn.Dense(self.n_classes, name="out")(x))
+            return MTLHeads(n_classes=self.n_classes, dtype=self.dtype,
+                            name="heads")(x, train=train)
+        return nn.softmax(
+            nn.Dense(self.n_classes, name="out")(x).astype(jnp.float32))
 
 
 class PapakostasCNN(nn.Module):
     """AlexNet-style CNN with LRN; ``mtl=False`` -> softmax only."""
     n_classes: int = 3
     mtl: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        x = nn.Conv(96, (5, 5), strides=(2, 2), padding="VALID", name="c1")(x)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        x = nn.Conv(96, (5, 5), strides=(2, 2), padding="VALID",
+                    dtype=self.dtype, name="c1")(x)
         x = local_response_normalization(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
-        x = nn.Conv(384, (3, 3), strides=(2, 2), padding="VALID", name="c2")(x)
+        x = nn.Conv(384, (3, 3), strides=(2, 2), padding="VALID",
+                    dtype=self.dtype, name="c2")(x)
         x = local_response_normalization(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
-        x = nn.Conv(512, (3, 3), strides=(1, 1), padding="SAME", name="c3")(x)
+        x = nn.Conv(512, (3, 3), strides=(1, 1), padding="SAME",
+                    dtype=self.dtype, name="c3")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
         x = x.reshape((x.shape[0], -1))
-        x = _DenseBNReluDrop(4096, 0.5, name="fc1")(x, train=train)
-        x = _DenseBNReluDrop(4096, 0.5, name="fc2")(x, train=train)
+        x = _DenseBNReluDrop(4096, 0.5, dtype=self.dtype, name="fc1")(x, train=train)
+        x = _DenseBNReluDrop(4096, 0.5, dtype=self.dtype, name="fc2")(x, train=train)
         if self.mtl:
-            return MTLHeads(n_classes=self.n_classes, name="heads")(x, train=train)
-        return nn.softmax(nn.Dense(self.n_classes, name="out")(x))
+            return MTLHeads(n_classes=self.n_classes, dtype=self.dtype,
+                            name="heads")(x, train=train)
+        return nn.softmax(
+            nn.Dense(self.n_classes, name="out")(x).astype(jnp.float32))

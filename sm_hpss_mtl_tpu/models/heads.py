@@ -38,10 +38,11 @@ class HeadBlock(nn.Module):
     """Dense(width, l2-regularized) -> BN -> ReLU -> Dropout(0.4)."""
     width: int = 16
     dropout: float = 0.4
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, *, train: bool):
-        x = nn.Dense(self.width, name="dense")(x)
+        x = nn.Dense(self.width, dtype=self.dtype, name="dense")(x)
         x = nn.BatchNorm(use_running_average=not train, name="bn", **BN_KW)(x)
         x = nn.relu(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
@@ -64,10 +65,11 @@ class MTLHeads(nn.Module):
     with_noise: bool = False
     head_width: int = 16
     head_layers: int = 1
+    dtype: object = None
 
     def _stack(self, x, name, train):
         for i in range(self.head_layers):
-            x = HeadBlock(width=self.head_width,
+            x = HeadBlock(width=self.head_width, dtype=self.dtype,
                           name=f"{name}{'_l' + str(i) if i else ''}")(
                               x, train=train)
         return x
@@ -76,16 +78,16 @@ class MTLHeads(nn.Module):
     def __call__(self, x, *, train: bool):
         out = {}
         s = self._stack(x, "S_block", train)
-        out["S"] = nn.sigmoid(nn.Dense(1, name="S_out")(s))
+        out["S"] = nn.sigmoid(nn.Dense(1, name="S_out")(s).astype(jnp.float32))
         m = self._stack(x, "M_block", train)
-        out["M"] = nn.sigmoid(nn.Dense(1, name="M_out")(m))
+        out["M"] = nn.sigmoid(nn.Dense(1, name="M_out")(m).astype(jnp.float32))
         if self.with_noise:
             n = self._stack(x, "N_block", train)
-            out["N"] = nn.sigmoid(nn.Dense(1, name="N_out")(n))
+            out["N"] = nn.sigmoid(nn.Dense(1, name="N_out")(n).astype(jnp.float32))
         r = self._stack(x, "R_block", train)
         r_dim = 3 if self.with_noise else 2
-        out["R"] = nn.Dense(r_dim, name="R_out")(r)
-        out["3C"] = nn.softmax(nn.Dense(self.n_classes, name="C_out")(x))
+        out["R"] = nn.Dense(r_dim, name="R_out")(r).astype(jnp.float32)
+        out["3C"] = nn.softmax(nn.Dense(self.n_classes, name="C_out")(x).astype(jnp.float32))
         return out
 
 
@@ -100,20 +102,20 @@ class CascadedMTLHeads(nn.Module):
     def __call__(self, x, *, train: bool):
         out = {}
         r = HeadBlock(name="R_block")(x, train=train)
-        smr = nn.Dense(2, name="R_out")(r)
+        smr = nn.Dense(2, name="R_out")(r).astype(jnp.float32)
         out["R"] = smr
 
         s = HeadBlock(name="S_block")(x, train=train)
         s = jnp.concatenate([s, smr], axis=-1)
         s = nn.BatchNorm(use_running_average=not train, name="S_cat_bn",
                          **BN_KW)(s)
-        out["S"] = nn.sigmoid(nn.Dense(1, name="S_out")(s))
+        out["S"] = nn.sigmoid(nn.Dense(1, name="S_out")(s).astype(jnp.float32))
 
         m = HeadBlock(name="M_block")(x, train=train)
         m = jnp.concatenate([m, smr], axis=-1)
         m = nn.BatchNorm(use_running_average=not train, name="M_cat_bn",
                          **BN_KW)(m)
-        out["M"] = nn.sigmoid(nn.Dense(1, name="M_out")(m))
+        out["M"] = nn.sigmoid(nn.Dense(1, name="M_out")(m).astype(jnp.float32))
 
-        out["3C"] = nn.softmax(nn.Dense(self.n_classes, name="C_out")(x))
+        out["3C"] = nn.softmax(nn.Dense(self.n_classes, name="C_out")(x).astype(jnp.float32))
         return out

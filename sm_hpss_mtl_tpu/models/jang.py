@@ -83,10 +83,12 @@ class _ConvBlock(nn.Module):
     features: int
     dropout: float = 0.4
     pool_padding: str = "SAME"
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, *, train: bool):
-        x = nn.Conv(self.features, (3, 3), padding="SAME", name="conv")(x)
+        x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype,
+                    name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, name="bn", **BN_KW)(x)
         x = nn.relu(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
@@ -102,6 +104,7 @@ class JangCNN(nn.Module):
     n_mels: int = 120
     n_fft: int = 512
     t_dim: int = 5
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -122,18 +125,25 @@ class JangCNN(nn.Module):
                               t_dim=self.t_dim, name="melCl")(x)
         y = jnp.tanh(y)
 
+        if self.dtype is not None:
+            y = y.astype(self.dtype)
         pool_pad = "SAME" if self.mtl else "VALID"
-        y = _ConvBlock(32, pool_padding=pool_pad, name="b1")(y, train=train)
-        y = _ConvBlock(64, pool_padding=pool_pad, name="b2")(y, train=train)
-        y = _ConvBlock(128, pool_padding=pool_pad, name="b3")(y, train=train)
+        y = _ConvBlock(32, pool_padding=pool_pad, dtype=self.dtype,
+                       name="b1")(y, train=train)
+        y = _ConvBlock(64, pool_padding=pool_pad, dtype=self.dtype,
+                       name="b2")(y, train=train)
+        y = _ConvBlock(128, pool_padding=pool_pad, dtype=self.dtype,
+                       name="b3")(y, train=train)
         y = y.reshape((y.shape[0], -1))
 
         if self.mtl:
             for i, width in enumerate([2048, 1024]):
-                y = nn.Dense(width, name=f"fc{i + 1}")(y)
+                y = nn.Dense(width, dtype=self.dtype, name=f"fc{i + 1}")(y)
                 y = nn.BatchNorm(use_running_average=not train,
                                  name=f"fc{i + 1}_bn", **BN_KW)(y)
                 y = nn.relu(y)
                 y = nn.Dropout(0.4, deterministic=not train)(y)
-            return MTLHeads(n_classes=self.n_classes, name="heads")(y, train=train)
-        return nn.softmax(nn.Dense(self.n_classes, name="out")(y))
+            return MTLHeads(n_classes=self.n_classes, dtype=self.dtype,
+                            name="heads")(y, train=train)
+        return nn.softmax(
+            nn.Dense(self.n_classes, name="out")(y).astype(jnp.float32))

@@ -29,6 +29,7 @@ class LemaireTCN(nn.Module):
     Nd: int = 8
     use_skip_connections: bool = False
     dropout_rate: float = 0.275
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -36,10 +37,11 @@ class LemaireTCN(nn.Module):
                 kernel_size=self.kernel_size,
                 dilations=tuple(2 ** d for d in range(self.Nd)),
                 use_skip_connections=self.use_skip_connections,
-                dropout_rate=self.dropout_rate,
+                dropout_rate=self.dropout_rate, dtype=self.dtype,
                 name="tcn")(x, deterministic=not train)
         x = x.reshape((x.shape[0], -1))
-        return nn.softmax(nn.Dense(self.n_classes, name="out")(x))
+        return nn.softmax(
+            nn.Dense(self.n_classes, name="out")(x).astype(jnp.float32))
 
 
 class LemaireMTL(nn.Module):
@@ -55,6 +57,7 @@ class LemaireMTL(nn.Module):
     with_noise: bool = False
     head_width: int = 16
     head_layers: int = 1
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -62,7 +65,7 @@ class LemaireMTL(nn.Module):
                 kernel_size=self.kernel_size,
                 dilations=tuple(2 ** d for d in range(self.Nd)),
                 use_skip_connections=self.use_skip_connections,
-                dropout_rate=self.dropout_rate,
+                dropout_rate=self.dropout_rate, dtype=self.dtype,
                 name="tcn")(x, deterministic=not train)
         x = x.reshape((x.shape[0], -1))
         if self.cascaded:
@@ -70,7 +73,7 @@ class LemaireMTL(nn.Module):
                                     name="heads")(x, train=train)
         return MTLHeads(n_classes=self.n_classes, with_noise=self.with_noise,
                         head_width=self.head_width,
-                        head_layers=self.head_layers,
+                        head_layers=self.head_layers, dtype=self.dtype,
                         name="heads")(x, train=train)
 
 
@@ -82,18 +85,20 @@ class LemaireMTLIntermediateFusion(nn.Module):
     n_filters: int = 32
     nb_stacks: int = 3
     dropout_rate: float = 0.275
+    dtype: object = None
 
     @nn.compact
     def __call__(self, inputs, *, train: bool = False):
         xh = TCN(n_filters=self.n_filters, nb_stacks=self.nb_stacks,
-                 dropout_rate=self.dropout_rate,
+                 dropout_rate=self.dropout_rate, dtype=self.dtype,
                  name="tcn_H")(inputs["harm_input"], deterministic=not train)
         xp = TCN(n_filters=self.n_filters, nb_stacks=self.nb_stacks,
-                 dropout_rate=self.dropout_rate,
+                 dropout_rate=self.dropout_rate, dtype=self.dtype,
                  name="tcn_P")(inputs["perc_input"], deterministic=not train)
         xh = xh.reshape((xh.shape[0], -1))
         xp = xp.reshape((xp.shape[0], -1))
         x = jnp.concatenate([xh, xp], axis=-1)
         x = nn.BatchNorm(use_running_average=not train, name="fusion_bn",
                          **BN_KW)(x)
-        return MTLHeads(n_classes=self.n_classes, name="heads")(x, train=train)
+        return MTLHeads(n_classes=self.n_classes, dtype=self.dtype,
+                        name="heads")(x, train=train)

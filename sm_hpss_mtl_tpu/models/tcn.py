@@ -62,20 +62,22 @@ class TCNResidualBlock(nn.Module):
     dilation: int
     dropout_rate: float
     activation: str = "norm_relu"
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool):
         original = x
         y = nn.Conv(self.n_filters, (self.kernel_size,),
                     kernel_dilation=(self.dilation,), padding="SAME",
-                    name="dilated_conv")(x)
+                    dtype=self.dtype, name="dilated_conv")(x)
         if self.activation == "norm_relu":
             y = nn.relu(y)
             y = channel_normalization(y)
         else:
             raise NotImplementedError(self.activation)
         y = SpatialDropout1D(self.dropout_rate)(y, deterministic=deterministic)
-        y = nn.Conv(self.n_filters, (1,), padding="SAME", name="conv_1x1")(y)
+        y = nn.Conv(self.n_filters, (1,), padding="SAME", dtype=self.dtype,
+                    name="conv_1x1")(y)
         return original + y, y
 
 
@@ -87,16 +89,21 @@ class TCN(nn.Module):
     dilations: Sequence[int] = (1, 2, 4, 8, 16, 32, 64, 128)
     use_skip_connections: bool = False
     dropout_rate: float = 0.275  # midpoint of the reference's U(0.05, 0.5)
+    #: compute dtype (None = input dtype; jnp.bfloat16 for mixed precision)
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         x = nn.Conv(self.n_filters, (self.kernel_size,), padding="SAME",
-                    name="initial_conv")(x)
+                    dtype=self.dtype, name="initial_conv")(x)
         skips = []
         for s in range(self.nb_stacks):
             for d in self.dilations:
                 x, skip = TCNResidualBlock(
                     self.n_filters, self.kernel_size, d, self.dropout_rate,
+                    dtype=self.dtype,
                     name=f"stack{s}_dilation{d}")(x, deterministic=deterministic)
                 skips.append(skip)
         if self.use_skip_connections:

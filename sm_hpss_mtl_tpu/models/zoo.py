@@ -29,14 +29,16 @@ class ModelSpec:
 
 
 def get_model(name: str, *, n_classes: int = 3, n_mels: int = 120,
-              dropout_rate: float = 0.275, **arch_kwargs) -> ModelSpec:
+              dropout_rate: float = 0.275, dtype=None,
+              **arch_kwargs) -> ModelSpec:
     """``arch_kwargs`` (Lemaire family only): kernel_size, Nd, nb_stacks,
     n_filters, use_skip_connections, head_width, head_layers — the tuning
-    drivers' search space."""
+    drivers' search space.  ``dtype=jnp.bfloat16`` enables mixed-precision
+    compute (params and losses stay f32)."""
     if arch_kwargs and not name.startswith("Lemaire"):
         raise ValueError(f"arch_kwargs not supported for {name!r}")
     common_tcn = dict(n_classes=n_classes, dropout_rate=dropout_rate,
-                      **arch_kwargs)
+                      dtype=dtype, **arch_kwargs)
     if name == "Lemaire_et_al":
         kwargs = {k: v for k, v in common_tcn.items()
                   if k not in ("head_width", "head_layers")}
@@ -58,20 +60,25 @@ def get_model(name: str, *, n_classes: int = 3, n_mels: int = 120,
         return ModelSpec(LemaireMTLIntermediateFusion(**kwargs), "dual",
                          True, ("S", "M", "R", "3C"))
     if name == "Doukhan_et_al":
-        return ModelSpec(DoukhanCNN(n_classes=n_classes), "image", False)
+        return ModelSpec(DoukhanCNN(n_classes=n_classes, dtype=dtype),
+                         "image", False)
     if name == "Doukhan_et_al_MTL":
-        return ModelSpec(DoukhanCNN(n_classes=n_classes, mtl=True), "image",
+        return ModelSpec(DoukhanCNN(n_classes=n_classes, mtl=True,
+                                    dtype=dtype), "image",
                          True, ("S", "M", "R", "3C"))
     if name == "Papakostas_et_al":
-        return ModelSpec(PapakostasCNN(n_classes=n_classes), "image", False)
+        return ModelSpec(PapakostasCNN(n_classes=n_classes, dtype=dtype),
+                         "image", False)
     if name == "Papakostas_et_al_MTL":
-        return ModelSpec(PapakostasCNN(n_classes=n_classes, mtl=True), "image",
+        return ModelSpec(PapakostasCNN(n_classes=n_classes, mtl=True,
+                                       dtype=dtype), "image",
                          True, ("S", "M", "R", "3C"))
     if name == "Jang_et_al":
-        return ModelSpec(JangCNN(n_classes=n_classes, n_mels=64), "image", False)
+        return ModelSpec(JangCNN(n_classes=n_classes, n_mels=64, dtype=dtype),
+                         "image", False)
     if name == "Jang_et_al_MTL":
         return ModelSpec(JangCNN(n_classes=n_classes, mtl=True,
-                                 n_mels=n_mels), "image", True,
+                                 n_mels=n_mels, dtype=dtype), "image", True,
                          ("S", "M", "R", "3C"))
     raise ValueError(f"unknown model {name!r}")
 

@@ -77,6 +77,9 @@ class ExperimentConfig:
     l2_reg: float = 0.01
     #: parallel host pipelines feeding the training stream
     prefetch_workers: int = 2
+    #: 'float32' (reference parity) or 'bfloat16' (mixed-precision compute;
+    #: params, BatchNorm stats, head outputs and losses stay f32)
+    compute_dtype: str = "float32"
     seed: int = 0
     # Derived step counts (0 = compute from durations).
     tr_steps: int = 0
