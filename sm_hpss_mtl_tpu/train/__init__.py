@@ -7,3 +7,4 @@ from .checkpoint import checkpoint_exists, restore_checkpoint, save_checkpoint  
 from .config import MODEL_PRESETS, ExperimentConfig  # noqa: F401
 from .loop import FitResult, fit  # noqa: F401
 from .transfer import transfer_learn  # noqa: F401
+from .endtoend import device_featurize_patches, make_audio_train_step  # noqa: F401

@@ -1,0 +1,118 @@
+"""End-to-end on-device training: raw audio -> features -> model in ONE
+jitted step.
+
+The reference's pipeline (and our default path) featurizes on the host
+and feeds patch batches to the device.  This module compiles the whole
+chain — STFT, (Pallas) HPSS, mel/log, per-clip standardization, patch
+windowing, forward/backward — into a single XLA program, so training
+consumes raw audio batches directly.  Under GSPMD the audio batch shards
+over the 'data' mesh axis and the featurization runs sharded alongside
+the model.  Useful for fine-tuning on un-cached corpora (the DAFx
+transfer-learning case) and as the serving-style one-hop path.
+
+Batch convention: ``audio (B, n_samples)`` with per-clip labels; every
+clip yields the same static number of patches ``k`` and labels broadcast
+patch-wise (clip-level labels, like the reference's file-level classes).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..data.featurize import FeatureConfig
+from ..ops import featuregram as fg
+from ..ops.patches import extract_patches, standardize_rows
+from .losses import categorical_crossentropy, mtl_loss
+from .state import TrainState, _augment
+
+
+def device_featurize_patches(audio: jax.Array, cfg: FeatureConfig, *,
+                             patch_size: int, patch_shift: int,
+                             input_kind: str = "time_mel",
+                             use_pallas: bool | None = None) -> jax.Array:
+    """``(B, n) audio -> (B*k, ...) model-ready patches`` on device.
+
+    Applies the reference's per-featuregram row standardization (split
+    per HPSS component for HarmPerc features) before windowing.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    fv = fg.featuregram(audio, feat_name=cfg.feat_name, sr=cfg.sr,
+                        n_fft=cfg.n_fft, win_length=cfg.win_length,
+                        hop_length=cfg.hop_length, n_mels=cfg.n_mels,
+                        l_harm=cfg.l_harm, l_perc=cfg.l_perc,
+                        use_pallas=use_pallas)          # (B, D, T)
+    if "HarmPerc" in cfg.feat_name:
+        half = fv.shape[1] // 2
+        fv = jnp.concatenate([standardize_rows(fv[:, :half]),
+                              standardize_rows(fv[:, half:])], axis=1)
+    else:
+        fv = standardize_rows(fv)
+    patches = extract_patches(fv, patch_size=patch_size,
+                              patch_shift=patch_shift)  # (k, B, D, W)
+    k, B = patches.shape[0], patches.shape[1]
+    patches = patches.reshape((k * B,) + patches.shape[2:])
+    if input_kind == "time_mel":
+        return jnp.transpose(patches, (0, 2, 1))
+    return patches[..., None]
+
+
+def _broadcast_labels(labels, k: int):
+    """Tile per-clip labels to per-patch, matching the (k, B) -> k*B
+    flatten order of :func:`device_featurize_patches`."""
+    return jax.tree_util.tree_map(
+        lambda y: jnp.tile(y, (k,) + (1,) * (y.ndim - 1)), labels)
+
+
+def make_audio_train_step(model, optimizer, cfg: FeatureConfig, *,
+                          patch_size: int, patch_shift: int,
+                          input_kind: str = "time_mel", mtl: bool = True,
+                          loss_weights: dict | None = None,
+                          augment_noise: bool = False,
+                          use_pallas: bool | None = None,
+                          n_patches_per_clip: int | None = None) -> Callable:
+    """Jitted ``(state, audio (B,n), clip_labels, rng) -> (state, metrics)``
+    doing featurization and the optimizer update in one program."""
+    import optax
+
+    def loss_fn(params, batch_stats, audio, labels, rng):
+        batch = device_featurize_patches(
+            audio, cfg, patch_size=patch_size, patch_shift=patch_shift,
+            input_kind=input_kind, use_pallas=use_pallas)
+        if augment_noise:
+            rng, aug = jax.random.split(rng)
+            batch = _augment(batch, aug)
+        k = batch.shape[0] // audio.shape[0]
+        labels = _broadcast_labels(labels, k)
+        outputs, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats}, batch,
+            train=True, mutable=["batch_stats"], rngs={"dropout": rng})
+        if mtl:
+            total, per_head = mtl_loss(outputs, labels, loss_weights)
+        else:
+            total = categorical_crossentropy(outputs, labels)
+            per_head = {"3C": total}
+        return total, (per_head, mutated["batch_stats"], outputs, labels)
+
+    @jax.jit
+    def step(state: TrainState, audio, labels, rng):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (total, (per_head, new_stats, outputs, plabels)), grads = grad_fn(
+            state.params, state.batch_stats, audio, labels, rng)
+        updates, new_opt = optimizer.update(grads, state.opt_state,
+                                            state.params)
+        import optax as _optax
+        new_params = _optax.apply_updates(state.params, updates)
+        metrics = {"loss": total,
+                   **{f"{key}_loss": v for key, v in per_head.items()}}
+        out3 = outputs["3C"] if mtl else outputs
+        lab3 = plabels["3C"] if mtl else plabels
+        metrics["accuracy"] = jnp.mean(jnp.argmax(out3, -1)
+                                       == jnp.argmax(lab3, -1))
+        return TrainState(params=new_params, batch_stats=new_stats,
+                          opt_state=new_opt, step=state.step + 1), metrics
+
+    return step

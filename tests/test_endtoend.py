@@ -1,0 +1,109 @@
+"""On-device end-to-end (audio -> features -> model) training step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sm_hpss_mtl_tpu.data.featurize import FeatureConfig
+from sm_hpss_mtl_tpu.models import get_model
+from sm_hpss_mtl_tpu.ops.patches import extract_patches_np, standardize_rows
+from sm_hpss_mtl_tpu.train import TrainState, for_model
+from sm_hpss_mtl_tpu.train.endtoend import (device_featurize_patches,
+                                            make_audio_train_step)
+
+RNG = jax.random.PRNGKey(0)
+
+
+def _clip_labels(B):
+    y = np.arange(B) % 3
+    onehot = np.zeros((B, 3), np.float32)
+    onehot[np.arange(B), y] = 1
+    return {
+        "S": jnp.asarray((y == 1).astype(np.float32)),
+        "M": jnp.asarray((y == 0).astype(np.float32)),
+        "R": jnp.asarray(np.stack([(y == 0), (y == 1)], -1).astype(np.float32)),
+        "3C": jnp.asarray(onehot),
+    }
+
+
+def test_device_patches_match_host_pipeline(rng):
+    """Device featurize+standardize+patch must equal the host path."""
+    cfg = FeatureConfig(feat_name="LogMelHarmPercSpec", n_mels=16)
+    fs = 16000
+    audio = rng.standard_normal((2, fs)).astype(np.float32)
+
+    got = np.asarray(device_featurize_patches(
+        jnp.asarray(audio), cfg, patch_size=16, patch_shift=16,
+        input_kind="time_mel", use_pallas=False))
+
+    from sm_hpss_mtl_tpu.ops import featuregram as fg
+    k = None
+    host = []
+    for b in range(2):
+        fv = np.asarray(fg.featuregram(jnp.asarray(audio[b]),
+                                       feat_name=cfg.feat_name,
+                                       n_mels=cfg.n_mels))
+        half = fv.shape[0] // 2
+        fv = np.concatenate([np.asarray(standardize_rows(fv[:half])),
+                             np.asarray(standardize_rows(fv[half:]))], axis=0)
+        p = extract_patches_np(fv, 16, 16)
+        k = p.shape[0]
+        host.append(np.transpose(p, (0, 2, 1)))
+    # device layout: (k, B) flattened -> patch j of clip b at j*B + b
+    for b in range(2):
+        for j in range(k):
+            np.testing.assert_allclose(got[j * 2 + b], host[b][j],
+                                       rtol=1e-4, atol=1e-4)
+
+
+def test_audio_train_step_learns(rng):
+    cfg = FeatureConfig(feat_name="LogMelSpec", n_mels=12)
+    spec = get_model("Lemaire_et_al_MTL", n_mels=12, dropout_rate=0.0)
+    B, fs = 6, 16000
+    t = np.arange(fs) / fs
+    audio = np.stack([
+        np.sin(2 * np.pi * (200 + 120 * (i % 3)) * t)
+        + 0.05 * rng.standard_normal(fs) for i in range(B)]).astype(np.float32)
+    labels = _clip_labels(B)
+
+    opt, _ = for_model("Lemaire_et_al_MTL", tr_steps=100000)
+    sample = device_featurize_patches(jnp.asarray(audio), cfg,
+                                      patch_size=16, patch_shift=16,
+                                      use_pallas=False)
+    state = TrainState.create(spec.module, opt, sample, RNG)
+    step = make_audio_train_step(spec.module, opt, cfg, patch_size=16,
+                                 patch_shift=16, mtl=True, use_pallas=False)
+    rng_j = RNG
+    losses = []
+    for _ in range(8):
+        rng_j, sub = jax.random.split(rng_j)
+        state, m = step(state, jnp.asarray(audio), labels, sub)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 8
+
+
+def test_audio_train_step_data_parallel():
+    """The audio step shards over the data mesh like any other step."""
+    from sm_hpss_mtl_tpu.parallel import make_mesh, shard_batch
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = FeatureConfig(feat_name="LogMelSpec", n_mels=12)
+    spec = get_model("Lemaire_et_al_MTL", n_mels=12, dropout_rate=0.0)
+    B, n = 8, 16000
+    audio = jax.random.normal(RNG, (B, n))
+    labels = _clip_labels(B)
+    opt, _ = for_model("Lemaire_et_al_MTL", tr_steps=100)
+    sample = device_featurize_patches(audio, cfg, patch_size=16,
+                                      patch_shift=16, use_pallas=False)
+    state = TrainState.create(spec.module, opt, sample, RNG)
+    step = make_audio_train_step(spec.module, opt, cfg, patch_size=16,
+                                 patch_shift=16, mtl=True, use_pallas=False)
+
+    mesh = make_mesh()
+    ab, lb = shard_batch((audio, labels), mesh)
+    s1, m1 = step(state, ab, lb, RNG)
+    assert np.isfinite(float(m1["loss"]))
