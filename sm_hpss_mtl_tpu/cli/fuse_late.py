@@ -28,11 +28,9 @@ from ..utils.results import append_results
 
 
 def _load_tester(config, model_name, feat_name, ckpt_dir):
-    from ..train.config import MODEL_PRESETS
     import dataclasses
     spec = get_model(model_name, n_classes=config.n_classes,
                      dropout_rate=config.dropout_rate)
-    preset = MODEL_PRESETS[model_name]
     feat_cfg = dataclasses.replace(config.feature_config(),
                                    feat_name=feat_name)
     fz = Featurizer(feat_cfg)

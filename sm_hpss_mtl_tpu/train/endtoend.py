@@ -104,8 +104,7 @@ def make_audio_train_step(model, optimizer, cfg: FeatureConfig, *,
             state.params, state.batch_stats, audio, labels, rng)
         updates, new_opt = optimizer.update(grads, state.opt_state,
                                             state.params)
-        import optax as _optax
-        new_params = _optax.apply_updates(state.params, updates)
+        new_params = optax.apply_updates(state.params, updates)
         metrics = {"loss": total,
                    **{f"{key}_loss": v for key, v in per_head.items()}}
         out3 = outputs["3C"] if mtl else outputs
