@@ -71,3 +71,32 @@ def test_cpu_fallback_matches_oracle(rng):
     gH, gP = ref.hpss(S, 7, 5)
     np.testing.assert_allclose(np.asarray(H), gH, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(P), gP, rtol=1e-5, atol=1e-6)
+
+
+def test_shared_median_alg_interpret_parity(rng):
+    """The 'shared' median algorithm must be bit-compatible with the
+    network inside the kernel (interpret mode)."""
+    import sm_hpss_mtl_tpu.ops.hpss_pallas as hp2
+    S = np.abs(rng.standard_normal((1, 23, 90))).astype(np.float32)
+    old = hp2.MEDIAN_ALG
+    try:
+        hp2.MEDIAN_ALG = "network"
+        Hn, Pn = hp2.hpss(jnp.asarray(S), l_harm=7, l_perc=5,
+                          interpret=True, tile_t=40)
+        hp2.MEDIAN_ALG = "shared"
+        Hs, Ps = hp2.hpss(jnp.asarray(S), l_harm=7, l_perc=5,
+                          interpret=True, tile_t=40)
+    finally:
+        hp2.MEDIAN_ALG = old
+    np.testing.assert_allclose(np.asarray(Hs), np.asarray(Hn), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(Ps), np.asarray(Pn), atol=1e-7)
+
+
+def test_median2_matches_oracle(rng):
+    from sm_hpss_mtl_tpu.ops.median2 import sliding_median_shared
+    from sm_hpss_mtl_tpu.ops.hpss import _sliding_median
+    x = rng.standard_normal((3, 17, 50)).astype(np.float32)
+    for w in (3, 11, 21):
+        got = np.asarray(sliding_median_shared(jnp.asarray(x), w))
+        want = np.asarray(_sliding_median(jnp.asarray(x), w, axis=2))
+        np.testing.assert_allclose(got, want, atol=1e-6)
