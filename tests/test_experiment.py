@@ -123,3 +123,30 @@ def test_image_cnn_models_end_to_end(toy_root, tmp_path, model):
     out = run_experiment(cfg, folds=[0], verbose=False)[0]
     assert np.isfinite(out["row"]["val_loss"])
     assert out["test"]["ConfMat"].shape == (3, 3)
+
+
+def test_w249_variant_with_wraparound(toy_root, tmp_path):
+    # The 2.5 s patch variant (W=249, shift 24): toy clips are ~2 s
+    # (~197 frames < W), so this also exercises the short-clip tiling
+    # rule through the whole pipeline.
+    cfg = ExperimentConfig(
+        model="Lemaire_et_al_MTL", data_root=toy_root,
+        feature_dir=str(tmp_path / "features"),
+        output_dir=str(tmp_path / "results"),
+        epochs=1, batch_size=2, patch_size=249, patch_shift=24,
+        test_patch_shift=68,  # the reference's hard-coded test shift
+        tr_steps=1, v_steps=1, augment_noise=False, n_mels_override=16)
+    out = run_experiment(cfg, folds=[0], verbose=False)[0]
+    assert np.isfinite(out["row"]["val_loss"])
+
+
+def test_jang_baseline_single_task(toy_root, tmp_path):
+    cfg = ExperimentConfig(
+        model="Jang_et_al", data_root=toy_root,
+        feature_dir=str(tmp_path / "features"),
+        output_dir=str(tmp_path / "results"),
+        epochs=1, batch_size=1, patch_size=68, patch_shift=68,
+        tr_steps=1, v_steps=1, augment_noise=False)
+    out = run_experiment(cfg, folds=[0], verbose=False)[0]
+    assert np.isfinite(out["row"]["val_loss"])
+    assert out["test"]["ConfMat"].shape == (3, 3)
