@@ -34,7 +34,12 @@ from ..train.config import MODEL_PRESETS
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("audio", help="input wav (any length)")
+    p.add_argument("audio", help="input wav (any length), or a "
+                                 "precomputed featuregram .npy with --spec")
+    p.add_argument("--spec", action="store_true",
+                   help="treat the input as a precomputed (D, T) "
+                        "featuregram .npy (the reference's DAFx spectrogram "
+                        "cache path, DAFx12_...py:608-612)")
     p.add_argument("--ckpt", required=True)
     p.add_argument("--model", default="Lemaire_et_al_MTL")
     p.add_argument("--head", default="S", choices=["S", "M"])
@@ -51,8 +56,11 @@ def main(argv=None):
                              n_fft=preset["n_fft"],
                              n_mels=preset["n_mels"])
     fz = Featurizer(feat_cfg)
-    x, sr = read_wav(args.audio)
-    fv = fz._compute(x)
+    if args.spec:
+        fv = np.load(args.audio, allow_pickle=False)
+    else:
+        x, sr = read_wav(args.audio)
+        fv = fz._compute(x)
 
     spec = get_model(args.model, n_mels=max(preset["n_mels"], 1))
     opt, _ = for_model(args.model, tr_steps=1)

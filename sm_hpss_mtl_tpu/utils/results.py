@@ -41,6 +41,21 @@ def dump_configuration(op_dir: str, config) -> str:
     return path
 
 
+def append_analysis(path: str, results: dict) -> str:
+    """``misc.print_analysis`` (``/root/reference/lib/misc.py:158-181``):
+    tab-separated key:value rows with a write-header-once convention."""
+    import os
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    new_file = not os.path.exists(path) or os.path.getsize(path) == 0
+    heading = "\t".join(str(k) for k in results)
+    values = "\t".join(str(v) for v in results.values())
+    with open(path, "a", encoding="utf-8") as f:
+        if new_file:
+            f.write(heading + "\n")
+        f.write(values + "\n")
+    return path
+
+
 def dump_model_summary(path: str, module, sample_input, *,
                        train: bool = False) -> str:
     """Write a Keras-style layer table (``misc.print_model_summary``,
