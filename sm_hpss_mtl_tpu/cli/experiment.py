@@ -163,6 +163,9 @@ def run_fold(config: ExperimentConfig, cv_file_list: dict, fold: int,
                      csv_log=os.path.join(op_dir, f"fold{fold}_log.csv"),
                      verbose=verbose)
 
+    train_iter.close()
+    val_iter.close()
+
     predict = make_predict(spec.module)
     tester = FileWiseTester(
         featurizer=fz,

@@ -38,6 +38,7 @@ class DevicePrefetcher:
         self.q: queue.Queue = queue.Queue(
             maxsize=max(buffer_size, len(iterators)))
         self.error = None
+        self._closed = False
         self._count_lock = threading.Lock()
         self._count = 0
         self.threads = [threading.Thread(target=self._worker, args=(it,),
@@ -55,19 +56,41 @@ class DevicePrefetcher:
             self._count += 1
             return True
 
+    def _put(self, item) -> bool:
+        """Bounded put that gives up once the consumer closed us."""
+        while not self._closed:
+            try:
+                self.q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _worker(self, iterator):
         try:
             for batch in iterator:
-                if not self._take_slot():
+                if self._closed or not self._take_slot():
                     break
-                self.q.put(jax.device_put(batch, self.device))
+                if not self._put(jax.device_put(batch, self.device)):
+                    break
         except Exception as e:  # surfaced on the consumer side
             self.error = e
         finally:
             with self._count_lock:
                 self._live -= 1
                 if self._live == 0:
-                    self.q.put(self._SENTINEL)
+                    self._put(self._SENTINEL)
+
+    def close(self):
+        """Stop the workers; safe to call multiple times.  Without this
+        a finished-with prefetcher's threads would block forever on the
+        full queue (they are daemons, but they pin batch memory)."""
+        self._closed = True
+        while True:
+            try:
+                self.q.get_nowait()
+            except queue.Empty:
+                break
 
     def __iter__(self):
         return self

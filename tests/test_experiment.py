@@ -150,3 +150,29 @@ def test_jang_baseline_single_task(toy_root, tmp_path):
     out = run_experiment(cfg, folds=[0], verbose=False)[0]
     assert np.isfinite(out["row"]["val_loss"])
     assert out["test"]["ConfMat"].shape == (3, 3)
+
+
+def test_classifier_inference_api(toy_root, tmp_path):
+    # Train a tiny model, then classify through the public API.
+    from sm_hpss_mtl_tpu.infer import Classifier
+    cfg = ExperimentConfig(
+        model="Lemaire_et_al_MTL", data_root=toy_root,
+        feature_dir=str(tmp_path / "features"),
+        output_dir=str(tmp_path / "results"),
+        epochs=1, batch_size=2, patch_size=16, patch_shift=16,
+        tr_steps=1, v_steps=1, augment_noise=False)
+    out = run_experiment(cfg, folds=[0], verbose=False)[0]
+    ckpt = os.path.join(out["op_dir"], "fold0_ckpt")
+
+    clf = Classifier.from_checkpoint(ckpt, patch_size=16, patch_shift=16)
+    res = clf.classify_file(os.path.join(toy_root, "music",
+                                         "music-toy-0000.wav"))
+    assert res["class_name"] in ("music", "speech", "speech_music")
+    assert res["probabilities"].shape == (3,)
+    assert np.isclose(res["probabilities"].sum(), 1.0, atol=1e-4)
+    assert set(res["heads"]) == {"S", "M", "R", "3C"}
+
+    res2 = clf.classify_pair(
+        os.path.join(toy_root, "speech", "speech-toy-0000.wav"),
+        os.path.join(toy_root, "music", "music-toy-0001.wav"), 5.0)
+    assert res2["probabilities"].shape == (3,)
