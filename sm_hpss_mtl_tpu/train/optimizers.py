@@ -54,10 +54,22 @@ def exponential_decay(init_value: float, decay_steps: int,
                                    decay_rate=decay_rate, staircase=False)
 
 
+def keras_sgd(schedule, momentum: float = 0.9) -> optax.GradientTransformation:
+    """Keras-semantics SGD with momentum under a decaying lr:
+    ``v_t = m*v_{t-1} - lr_t*g_t; p += v_t`` — the lr scales each
+    gradient BEFORE it enters the velocity (optax.sgd scales the
+    accumulated velocity instead, which diverges under decay)."""
+    return optax.chain(
+        optax.scale_by_learning_rate(schedule, flip_sign=False),
+        optax.trace(decay=momentum),
+        optax.scale(-1.0),
+    )
+
+
 def lemaire_optimizer(tr_steps: int, init_lr: float = 0.002):
     sched = exponential_decay(init_lr, 3 * tr_steps)
     return optax.chain(clip_by_per_tensor_norm(1.0),
-                       optax.sgd(sched, momentum=0.9)), sched
+                       keras_sgd(sched, momentum=0.9)), sched
 
 
 def papakostas_optimizer(init_lr: float = 0.001):
