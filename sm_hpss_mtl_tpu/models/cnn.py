@@ -20,7 +20,15 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .heads import BN_KW, MTLHeads
+from .heads import BN_KW, KDense, MTLHeads
+
+#: Keras glorot_uniform (the reference's explicit Doukhan initializer,
+#: VarianceScaling(fan_avg, uniform), and the Keras layer default).
+_GLOROT = nn.initializers.glorot_uniform()
+#: Papakostas initializers: RandomNormal(stddev=0.01), bias Constant(0.1)
+#: (baseline_architectures.py:149-175).
+_PAPA_K = nn.initializers.normal(stddev=0.01)
+_PAPA_B = nn.initializers.constant(0.1)
 
 
 def local_response_normalization(x, depth_radius: int = 5, bias: float = 1.0,
@@ -49,7 +57,8 @@ class _ConvBNRelu(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool):
         x = nn.Conv(self.features, self.kernel, strides=self.strides,
-                    padding=self.padding, dtype=self.dtype, name="conv")(x)
+                    padding=self.padding, dtype=self.dtype,
+                    kernel_init=_GLOROT, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, name="bn", **BN_KW)(x)
         return nn.relu(x)
 
@@ -58,10 +67,15 @@ class _DenseBNReluDrop(nn.Module):
     features: int
     dropout: float
     dtype: object = None
+    papakostas: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool):
-        x = nn.Dense(self.features, dtype=self.dtype, name="dense")(x)
+        x = nn.Dense(self.features, dtype=self.dtype,
+                     kernel_init=(_PAPA_K if self.papakostas else _GLOROT),
+                     bias_init=(_PAPA_B if self.papakostas else
+                                nn.initializers.zeros_init()),
+                     name="dense")(x)
         x = nn.BatchNorm(use_running_average=not train, name="bn", **BN_KW)(x)
         x = nn.relu(x)
         return nn.Dropout(self.dropout, deterministic=not train)(x)
@@ -91,7 +105,8 @@ class DoukhanCNN(nn.Module):
             return MTLHeads(n_classes=self.n_classes, dtype=self.dtype,
                             name="heads")(x, train=train)
         return nn.softmax(
-            nn.Dense(self.n_classes, name="out")(x).astype(jnp.float32))
+            nn.Dense(self.n_classes, kernel_init=_GLOROT,
+                     name="out")(x).astype(jnp.float32))
 
 
 class PapakostasCNN(nn.Module):
@@ -105,24 +120,28 @@ class PapakostasCNN(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
         x = nn.Conv(96, (5, 5), strides=(2, 2), padding="VALID",
-                    dtype=self.dtype, name="c1")(x)
+                    dtype=self.dtype, kernel_init=_PAPA_K,
+                    bias_init=_PAPA_B, name="c1")(x)
         x = local_response_normalization(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
         x = nn.Conv(384, (3, 3), strides=(2, 2), padding="VALID",
-                    dtype=self.dtype, name="c2")(x)
+                    dtype=self.dtype, kernel_init=_PAPA_K,
+                    bias_init=_PAPA_B, name="c2")(x)
         x = local_response_normalization(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
         x = nn.Conv(512, (3, 3), strides=(1, 1), padding="SAME",
-                    dtype=self.dtype, name="c3")(x)
+                    dtype=self.dtype, kernel_init=_PAPA_K,
+                    bias_init=_PAPA_B, name="c3")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
         x = x.reshape((x.shape[0], -1))
-        x = _DenseBNReluDrop(4096, 0.5, dtype=self.dtype, name="fc1")(x, train=train)
-        x = _DenseBNReluDrop(4096, 0.5, dtype=self.dtype, name="fc2")(x, train=train)
+        x = _DenseBNReluDrop(4096, 0.5, dtype=self.dtype, papakostas=True, name="fc1")(x, train=train)
+        x = _DenseBNReluDrop(4096, 0.5, dtype=self.dtype, papakostas=True, name="fc2")(x, train=train)
         if self.mtl:
             return MTLHeads(n_classes=self.n_classes, dtype=self.dtype,
                             name="heads")(x, train=train)
         return nn.softmax(
-            nn.Dense(self.n_classes, name="out")(x).astype(jnp.float32))
+            nn.Dense(self.n_classes, kernel_init=_PAPA_K, bias_init=_PAPA_B,
+                     name="out")(x).astype(jnp.float32))

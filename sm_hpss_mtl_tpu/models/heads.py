@@ -27,11 +27,17 @@ Output conventions (from the training labels at
 
 from __future__ import annotations
 
+import functools
+
 import flax.linen as nn
 import jax.numpy as jnp
 
 # Keras BatchNormalization defaults (momentum 0.99, eps 1e-3).
 BN_KW = dict(momentum=0.99, epsilon=1e-3)
+#: Keras Dense/Conv default kernel initializer (flax defaults to
+#: lecun_normal; the reference's layers are glorot_uniform).
+KDense = functools.partial(nn.Dense,
+                           kernel_init=nn.initializers.glorot_uniform())
 
 
 class HeadBlock(nn.Module):
@@ -42,7 +48,7 @@ class HeadBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool):
-        x = nn.Dense(self.width, dtype=self.dtype, name="dense")(x)
+        x = KDense(self.width, dtype=self.dtype, name="dense")(x)
         x = nn.BatchNorm(use_running_average=not train, name="bn", **BN_KW)(x)
         x = nn.relu(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
@@ -78,16 +84,16 @@ class MTLHeads(nn.Module):
     def __call__(self, x, *, train: bool):
         out = {}
         s = self._stack(x, "S_block", train)
-        out["S"] = nn.sigmoid(nn.Dense(1, name="S_out")(s).astype(jnp.float32))
+        out["S"] = nn.sigmoid(KDense(1, name="S_out")(s).astype(jnp.float32))
         m = self._stack(x, "M_block", train)
-        out["M"] = nn.sigmoid(nn.Dense(1, name="M_out")(m).astype(jnp.float32))
+        out["M"] = nn.sigmoid(KDense(1, name="M_out")(m).astype(jnp.float32))
         if self.with_noise:
             n = self._stack(x, "N_block", train)
-            out["N"] = nn.sigmoid(nn.Dense(1, name="N_out")(n).astype(jnp.float32))
+            out["N"] = nn.sigmoid(KDense(1, name="N_out")(n).astype(jnp.float32))
         r = self._stack(x, "R_block", train)
         r_dim = 3 if self.with_noise else 2
-        out["R"] = nn.Dense(r_dim, name="R_out")(r).astype(jnp.float32)
-        out["3C"] = nn.softmax(nn.Dense(self.n_classes, name="C_out")(x).astype(jnp.float32))
+        out["R"] = KDense(r_dim, name="R_out")(r).astype(jnp.float32)
+        out["3C"] = nn.softmax(KDense(self.n_classes, name="C_out")(x).astype(jnp.float32))
         return out
 
 
@@ -102,20 +108,20 @@ class CascadedMTLHeads(nn.Module):
     def __call__(self, x, *, train: bool):
         out = {}
         r = HeadBlock(name="R_block")(x, train=train)
-        smr = nn.Dense(2, name="R_out")(r).astype(jnp.float32)
+        smr = KDense(2, name="R_out")(r).astype(jnp.float32)
         out["R"] = smr
 
         s = HeadBlock(name="S_block")(x, train=train)
         s = jnp.concatenate([s, smr], axis=-1)
         s = nn.BatchNorm(use_running_average=not train, name="S_cat_bn",
                          **BN_KW)(s)
-        out["S"] = nn.sigmoid(nn.Dense(1, name="S_out")(s).astype(jnp.float32))
+        out["S"] = nn.sigmoid(KDense(1, name="S_out")(s).astype(jnp.float32))
 
         m = HeadBlock(name="M_block")(x, train=train)
         m = jnp.concatenate([m, smr], axis=-1)
         m = nn.BatchNorm(use_running_average=not train, name="M_cat_bn",
                          **BN_KW)(m)
-        out["M"] = nn.sigmoid(nn.Dense(1, name="M_out")(m).astype(jnp.float32))
+        out["M"] = nn.sigmoid(KDense(1, name="M_out")(m).astype(jnp.float32))
 
-        out["3C"] = nn.softmax(nn.Dense(self.n_classes, name="C_out")(x).astype(jnp.float32))
+        out["3C"] = nn.softmax(KDense(self.n_classes, name="C_out")(x).astype(jnp.float32))
         return out

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import reference as ref
-from .heads import BN_KW, MTLHeads
+from .heads import BN_KW, KDense, MTLHeads
 
 
 def mel_band_weights(sr: int, n_fft: int, n_mels: int):
@@ -88,6 +88,7 @@ class _ConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool):
         x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype,
+                    kernel_init=nn.initializers.glorot_uniform(),
                     name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, name="bn", **BN_KW)(x)
         x = nn.relu(x)
@@ -138,7 +139,7 @@ class JangCNN(nn.Module):
 
         if self.mtl:
             for i, width in enumerate([2048, 1024]):
-                y = nn.Dense(width, dtype=self.dtype, name=f"fc{i + 1}")(y)
+                y = KDense(width, dtype=self.dtype, name=f"fc{i + 1}")(y)
                 y = nn.BatchNorm(use_running_average=not train,
                                  name=f"fc{i + 1}_bn", **BN_KW)(y)
                 y = nn.relu(y)
@@ -146,4 +147,4 @@ class JangCNN(nn.Module):
             return MTLHeads(n_classes=self.n_classes, dtype=self.dtype,
                             name="heads")(y, train=train)
         return nn.softmax(
-            nn.Dense(self.n_classes, name="out")(y).astype(jnp.float32))
+            KDense(self.n_classes, name="out")(y).astype(jnp.float32))

@@ -16,7 +16,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .heads import BN_KW, CascadedMTLHeads, MTLHeads
+from .heads import BN_KW, CascadedMTLHeads, KDense, MTLHeads
 from .tcn import TCN
 
 
@@ -41,7 +41,7 @@ class LemaireTCN(nn.Module):
                 name="tcn")(x, deterministic=not train)
         x = x.reshape((x.shape[0], -1))
         return nn.softmax(
-            nn.Dense(self.n_classes, name="out")(x).astype(jnp.float32))
+            KDense(self.n_classes, name="out")(x).astype(jnp.float32))
 
 
 class LemaireMTL(nn.Module):

@@ -69,7 +69,9 @@ class TCNResidualBlock(nn.Module):
         original = x
         y = nn.Conv(self.n_filters, (self.kernel_size,),
                     kernel_dilation=(self.dilation,), padding="SAME",
-                    dtype=self.dtype, name="dilated_conv")(x)
+                    dtype=self.dtype,
+                    kernel_init=nn.initializers.glorot_uniform(),
+                    name="dilated_conv")(x)
         if self.activation == "norm_relu":
             y = nn.relu(y)
             y = channel_normalization(y)
@@ -77,6 +79,7 @@ class TCNResidualBlock(nn.Module):
             raise NotImplementedError(self.activation)
         y = SpatialDropout1D(self.dropout_rate)(y, deterministic=deterministic)
         y = nn.Conv(self.n_filters, (1,), padding="SAME", dtype=self.dtype,
+                    kernel_init=nn.initializers.glorot_uniform(),
                     name="conv_1x1")(y)
         return original + y, y
 
@@ -97,7 +100,9 @@ class TCN(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
         x = nn.Conv(self.n_filters, (self.kernel_size,), padding="SAME",
-                    dtype=self.dtype, name="initial_conv")(x)
+                    dtype=self.dtype,
+                    kernel_init=nn.initializers.glorot_uniform(),
+                    name="initial_conv")(x)
         skips = []
         for s in range(self.nb_stacks):
             for d in self.dilations:

@@ -78,11 +78,12 @@ def papakostas_optimizer(init_lr: float = 0.001):
 
 
 def doukhan_optimizer(lr: float = 1e-4):
-    return optax.adam(lr), lambda step: lr
+    # Keras Adam defaults: eps=1e-7 (optax defaults to 1e-8).
+    return optax.adam(lr, eps=1e-7), lambda step: lr
 
 
 def jang_optimizer(lr: float = 1e-3):
-    return optax.adam(lr), lambda step: lr
+    return optax.adam(lr, eps=1e-7), lambda step: lr
 
 
 def for_model(name: str, tr_steps: int):
