@@ -84,6 +84,14 @@ def run_fold(config: ExperimentConfig, cv_file_list: dict, fold: int,
     test_files = _class_subset(test_files, config.n_classes)
     tr_files, va_files = split_train_val(train_files, seed=config.seed)
 
+    # Multi-host: each process reads a disjoint file shard and draws from
+    # a decorrelated RNG stream; model init/params stay seeded identically
+    # across processes (config.seed) so replicated state agrees.
+    from ..parallel import per_process_seed, process_file_shard
+    tr_files = process_file_shard(tr_files)
+    va_files = process_file_shard(va_files)
+    data_seed = per_process_seed(config.seed)
+
     fold_stats = None
     if config.frame_level_scaling:
         from ..data.stats import load_or_compute_fold_stats
@@ -102,7 +110,7 @@ def run_fold(config: ExperimentConfig, cv_file_list: dict, fold: int,
         # stream stays clean (and the val stream always is).
         dual_tower=dual, augment_noise=False,
         frame_level_scaling=config.frame_level_scaling,
-        skewness_vector=config.skewness_vector, seed=config.seed)
+        skewness_vector=config.skewness_vector, seed=data_seed)
     def _label_map(it):
         # Single-task models take only the one-hot class labels.
         for x, labels in it:
@@ -111,13 +119,13 @@ def run_fold(config: ExperimentConfig, cv_file_list: dict, fold: int,
     n_workers = max(config.prefetch_workers, 1)
     train_iter = DevicePrefetcher([
         _label_map(BalancedBatcher(fz, config.data_root, tr_files,
-                                   replace(bcfg, seed=config.seed + 100 + w),
+                                   replace(bcfg, seed=data_seed + 100 + w),
                                    fold_stats=fold_stats))
         for w in range(n_workers)])
     val_iter = DevicePrefetcher(_label_map(
         BalancedBatcher(fz, config.data_root, va_files,
                         replace(bcfg, augment_noise=False,
-                                seed=config.seed + 1),
+                                seed=data_seed + 1),
                         fold_stats=fold_stats)))
 
     optimizer, _ = for_model(config.model,
@@ -212,6 +220,11 @@ def run_fold(config: ExperimentConfig, cv_file_list: dict, fold: int,
 def run_experiment(config: ExperimentConfig, folds=None, *,
                    smr_sweep: bool = False, verbose: bool = True,
                    resume: bool = True) -> list:
+    # Multi-host entry: no-op single-process; on pods/explicit-env setups
+    # this brings up the jax.distributed coordination service before any
+    # device use (SURVEY.md §2.5 comm-backend row).
+    from ..parallel import initialize_from_env
+    initialize_from_env()
     with_noise = config.n_classes == 5
     cv_path = os.path.join(config.data_root,
                            "cv_info_5_class" if with_noise else "cv_info")

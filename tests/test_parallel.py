@@ -18,8 +18,20 @@ RNG = jax.random.PRNGKey(0)
 def test_mesh_shapes():
     mesh = make_mesh()
     assert mesh.shape["data"] == 8 and mesh.shape["time"] == 1
+    # TP-ready placeholder axis (SURVEY §2.5): always present, default 1.
+    assert mesh.shape["model"] == 1
     mesh = make_mesh(n_data=4, n_time=2)
     assert mesh.shape["data"] == 4 and mesh.shape["time"] == 2
+    mesh = make_mesh(n_time=2, n_model=2)
+    assert mesh.shape == {"data": 2, "time": 2, "model": 2}
+
+
+def test_model_sharding_placeholder():
+    from sm_hpss_mtl_tpu.parallel import model_sharding
+    mesh = make_mesh()
+    sh = model_sharding(mesh, axis=1, ndim=2)
+    x = jax.device_put(jnp.ones((4, 4)), sh)
+    assert x.sharding.spec == jax.sharding.PartitionSpec(None, "model")
 
 
 def test_hpss_time_sharded_matches_unsharded(rng):
