@@ -17,7 +17,7 @@ import os
 import numpy as np
 import jax.numpy as jnp
 
-from ..data.audio import read_wav, write_wav
+from ..data.audio import read_audio, write_wav
 from ..ops import stft as st
 from ..ops.hpss import hpss_masks
 from ..ops.mixing import mix_signals_np, normalize_signal_np
@@ -48,10 +48,10 @@ def main(argv=None):
     p.add_argument("--l-perc", type=int, default=11)
     args = p.parse_args(argv)
 
-    x, sr = read_wav(args.input)
+    x, sr = read_audio(args.input)
     stem = os.path.splitext(os.path.basename(args.input))[0]
     if args.mix:
-        m, _ = read_wav(args.mix)
+        m, _ = read_audio(args.mix)
         x = mix_signals_np(normalize_signal_np(x), normalize_signal_np(m),
                            args.smr).astype(np.float32)
         stem = f"{stem}+{os.path.splitext(os.path.basename(args.mix))[0]}_{args.smr:g}dB"

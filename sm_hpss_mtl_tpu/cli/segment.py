@@ -21,7 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..data.audio import read_wav
+from ..data.audio import read_audio
 from ..data.featurize import FeatureConfig, Featurizer
 from ..eval.metrics import get_performance
 from ..eval.segment import (StreamingSegmenter,
@@ -59,7 +59,7 @@ def main(argv=None):
     if args.spec:
         fv = np.load(args.audio, allow_pickle=False)
     else:
-        x, sr = read_wav(args.audio)
+        x, sr = read_audio(args.audio)
         fv = fz._compute(x)
 
     spec = get_model(args.model, n_mels=max(preset["n_mels"], 1))

@@ -30,6 +30,20 @@ from ..ops.silence import remove_silence
 TARGET_SR = 16000
 
 
+def _to_mono_sr(x: np.ndarray, sr: int, target_sr: int
+                ) -> tuple[np.ndarray, int]:
+    """Downmix to mono + polyphase-resample to ``target_sr`` (the
+    ``librosa.core.load(sr=16000, mono=True)`` semantics of
+    ``/root/reference/lib/preprocessing.py:331``)."""
+    if x.ndim > 1:
+        x = x.mean(axis=1)
+    if sr != target_sr:
+        g = np.gcd(sr, target_sr)
+        x = resample_poly(x, target_sr // g, sr // g).astype(np.float32)
+        sr = target_sr
+    return np.ascontiguousarray(x, dtype=np.float32), sr
+
+
 def read_wav(path: str, target_sr: int = TARGET_SR) -> tuple[np.ndarray, int]:
     """Load a wav as float32 mono at ``target_sr``."""
     sr, x = wavfile.read(path)
@@ -41,13 +55,23 @@ def read_wav(path: str, target_sr: int = TARGET_SR) -> tuple[np.ndarray, int]:
         x = (x.astype(np.float32) - 128.0) / 128.0
     else:
         x = x.astype(np.float32)
-    if x.ndim > 1:
-        x = x.mean(axis=1)
-    if sr != target_sr:
-        g = np.gcd(sr, target_sr)
-        x = resample_poly(x, target_sr // g, sr // g).astype(np.float32)
-        sr = target_sr
-    return x, sr
+    return _to_mono_sr(x, sr, target_sr)
+
+
+def read_audio(path: str, target_sr: int = TARGET_SR
+               ) -> tuple[np.ndarray, int]:
+    """Format-dispatching loader: wav natively, mp3 via libmpg123.
+
+    The reference accepts anything librosa decodes and its demo assets
+    are mp3 (``/root/reference/hpss_audio/``); this is the equivalent
+    ingestion front door.
+    """
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".mp3":
+        from .codecs import read_mp3
+        x, sr = read_mp3(path)
+        return _to_mono_sr(x, sr, target_sr)
+    return read_wav(path, target_sr)
 
 
 def write_wav(path: str, x: np.ndarray, sr: int = TARGET_SR) -> None:
@@ -56,6 +80,9 @@ def write_wav(path: str, x: np.ndarray, sr: int = TARGET_SR) -> None:
 
 
 def duration_seconds(path: str) -> float:
+    if path.lower().endswith(".mp3"):
+        from .codecs import mp3_duration_seconds
+        return mp3_duration_seconds(path)
     sr, x = wavfile.read(path, mmap=True)
     n = x.shape[0]
     return n / sr
@@ -65,7 +92,7 @@ def load_and_preprocess_signal(path: str, Tw: int = 25, Ts: int = 10
                                ) -> tuple[np.ndarray, int]:
     """The reference's load chain: normalize -> silence removal -> tile to
     >=100 ms -> normalize."""
-    x, fs = read_wav(path)
+    x, fs = read_audio(path)
     x = normalize_signal_np(x).astype(np.float32)
     frame_size = int(Tw * fs / 1000)
     frame_shift = int(Ts * fs / 1000)
