@@ -6,12 +6,15 @@ Two modes, covering three reference scripts:
   (``/root/reference/Hyperparameter_Selection.py:541-552``): n_mels
   [20..120], l_harm/l_perc [11..51], W [25..100], loss_weights presets —
   one short training per value on fold 0.
-- ``--mode search``: random search over the TCN architecture space
+- ``--mode search``: search over the TCN architecture space
   (``B3_architecture_tuning.py:251-259``: kernel_size 3..19 odd, Nd 3..8,
   nb_stacks 3..10, n_layers folded into stacks, n_filters {8,16,32},
   skip connections) or over the MTL head shapes
   (``B3_MTL_architecture_tuning.py:326-334``: per-head layers 1..3,
-  widths {16,32,64,128}) with ``--space {arch,mtl-heads}``.
+  widths {16,32,64,128}) with ``--space {arch,mtl-heads}``.  Both of the
+  reference tuner's algorithms (``B3_architecture_tuning.py:251-289``)
+  are available via ``--algo {random,bayes}``; bayes is GP expected
+  improvement (``utils/bayesopt.py``), seeded and deterministic.
 
 Results go to a tab-separated Tuning.csv; the best setting is printed.
 
@@ -62,21 +65,18 @@ def _apply_grid_value(cfg: ExperimentConfig, param: str, value):
     raise ValueError(param)
 
 
-def sample_arch(rng: np.random.Generator, space: str) -> dict:
+def search_space(space: str) -> dict:
+    from ..utils.bayesopt import ARCH_SPACE, MTL_HEADS_SPACE
     if space == "arch":
-        return {
-            "kernel_size": int(rng.choice(range(3, 20, 2))),
-            "Nd": int(rng.integers(3, 9)),
-            "nb_stacks": int(rng.integers(3, 11)),
-            "n_filters": int(rng.choice([8, 16, 32])),
-            "use_skip_connections": bool(rng.integers(0, 2)),
-        }
+        return ARCH_SPACE
     if space == "mtl-heads":
-        return {
-            "head_layers": int(rng.integers(1, 4)),
-            "head_width": int(rng.choice([16, 32, 64, 128])),
-        }
+        return MTL_HEADS_SPACE
     raise ValueError(space)
+
+
+def sample_arch(rng: np.random.Generator, space: str) -> dict:
+    return {k: (v[rng.integers(len(v))])
+            for k, v in search_space(space).items()}
 
 
 def _score(cfg: ExperimentConfig, fold: int, tag: str) -> dict:
@@ -98,6 +98,7 @@ def main(argv=None):
     p.add_argument("--mode", choices=["grid", "search"], default="grid")
     p.add_argument("--param", choices=list(GRID_RANGES), default="l_harm")
     p.add_argument("--space", choices=["arch", "mtl-heads"], default="arch")
+    p.add_argument("--algo", choices=["random", "bayes"], default="random")
     p.add_argument("--trials", type=int, default=20)
     p.add_argument("--fold", type=int, default=0)
     p.add_argument("--epochs", type=int, default=5)
@@ -127,10 +128,17 @@ def main(argv=None):
         best = min(rows, key=lambda r: r["val_loss"])
     else:
         rng = np.random.default_rng(args.seed)
+        opt = None
+        if args.algo == "bayes":
+            from ..utils.bayesopt import BayesOptimizer
+            opt = BayesOptimizer(search_space(args.space), seed=args.seed,
+                                 n_init=min(5, max(args.trials // 4, 2)))
         for t in range(args.trials):
-            arch = sample_arch(rng, args.space)
+            arch = opt.ask() if opt else sample_arch(rng, args.space)
             cfg = dataclasses.replace(base, arch_kwargs=arch)
             score = _score(cfg, args.fold, f"trial{t}")
+            if opt:
+                opt.tell(arch, score["val_loss"])
             row = {"trial": t, **arch, **score}
             rows.append(row)
             append_results(args.output, args.fold, row, suffix="Tuning")

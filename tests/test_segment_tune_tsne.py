@@ -102,6 +102,21 @@ def test_tune_search_tiny(toy_root, tmp_path):
     assert {"head_layers", "head_width"} <= set(rows[0])
 
 
+def test_tune_search_bayes_tiny(toy_root, tmp_path):
+    from sm_hpss_mtl_tpu.cli import tune
+    rows, best = tune.main([
+        "--data", toy_root, "--output", str(tmp_path),
+        "--mode", "search", "--space", "mtl-heads", "--algo", "bayes",
+        "--trials", "3", "--epochs", "1", "--batch-size", "2",
+        "--patch-size", "16", "--tr-steps", "1", "--v-steps", "1"])
+    assert len(rows) == 3
+    assert {"head_layers", "head_width"} <= set(rows[0])
+    # distinct configurations (the optimizer dedups its asks)
+    keys = {(r["head_layers"], r["head_width"]) for r in rows}
+    assert len(keys) == 3
+    assert np.isfinite(best["val_loss"])
+
+
 def test_tsne_cli(toy_root, tmp_path):
     from sm_hpss_mtl_tpu.cli import tsne
     out = str(tmp_path / "tsne.npz")
