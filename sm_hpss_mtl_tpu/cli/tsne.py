@@ -69,11 +69,9 @@ def collect_class_patches(featurizer, folder, files_by_class, *,
     return np.concatenate(feats), np.concatenate(labels)
 
 
-def kmeans_tsne(feats, labels, *, clusters=100, perplexity=30, seed=0):
-    """Per-class KMeans compression then joint t-SNE
-    (``draw_tSNE_plots.py:399-499``)."""
+def kmeans_compress(feats, labels, *, clusters=100, seed=0):
+    """Per-class KMeans compression (``draw_tSNE_plots.py:399-499``)."""
     from sklearn.cluster import KMeans
-    from sklearn.manifold import TSNE
     centers, center_labels = [], []
     for label in np.unique(labels):
         x = feats[labels == label]
@@ -81,12 +79,48 @@ def kmeans_tsne(feats, labels, *, clusters=100, perplexity=30, seed=0):
         km = KMeans(n_clusters=k, n_init=4, random_state=seed).fit(x)
         centers.append(km.cluster_centers_)
         center_labels.append(np.full(k, label))
-    X = np.concatenate(centers)
-    y = np.concatenate(center_labels)
+    return np.concatenate(centers), np.concatenate(center_labels)
+
+
+def kmeans_tsne(feats, labels, *, clusters=100, perplexity=30, seed=0):
+    """Per-class KMeans compression then joint t-SNE."""
+    from sklearn.manifold import TSNE
+    X, y = kmeans_compress(feats, labels, clusters=clusters, seed=seed)
     perplexity = min(perplexity, max(2, len(X) // 4))
     emb = TSNE(n_components=2, perplexity=perplexity,
                random_state=seed).fit_transform(X)
     return emb, y
+
+
+def grid_search_tsne(X, *, perplexities=range(5, 51, 5),
+                     exaggerations=range(2, 15, 2),
+                     learning_rates=range(50, 251, 50), seed=0):
+    """Hyperparameter grid for the embedding
+    (``draw_tSNE_plots.py:275-297``: perplexity 5..50/5, early
+    exaggeration 2..14/2, learning rate 50..250/50).  The reference only
+    dumps a plot per combination; here each run is scored by its final
+    KL divergence and the best setting is returned.
+
+    Returns ``(rows, best)`` where each row has the params + ``kl`` and
+    ``best`` additionally carries its ``embedding``.
+    """
+    from sklearn.manifold import TSNE
+    rows, best = [], None
+    for P in perplexities:
+        for E in exaggerations:
+            for L in learning_rates:
+                t = TSNE(n_components=2,
+                         perplexity=min(P, max(2, len(X) // 4)),
+                         early_exaggeration=E, learning_rate=L,
+                         random_state=seed)
+                emb = t.fit_transform(X)
+                row = {"perplexity": P, "early_exaggeration": E,
+                       "learning_rate": L,
+                       "kl": float(t.kl_divergence_)}
+                rows.append(row)
+                if best is None or row["kl"] < best["kl"]:
+                    best = dict(row, embedding=emb)
+    return rows, best
 
 
 def main(argv=None):
@@ -101,6 +135,9 @@ def main(argv=None):
     p.add_argument("--max-patches", type=int, default=5000)
     p.add_argument("--fold", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--grid-search", action="store_true",
+                   help="sweep perplexity/exaggeration/learning-rate over "
+                        "the reference ranges and keep the lowest-KL run")
     args = p.parse_args(argv)
 
     cv_path = os.path.join(args.data, "cv_info")
@@ -120,8 +157,20 @@ def main(argv=None):
         patch_shift=args.patch_size, feat_name=args.feat_name,
         stat=args.stat, max_patches_per_class=args.max_patches,
         seed=args.seed)
-    emb, y = kmeans_tsne(feats, labels, clusters=args.clusters,
-                         seed=args.seed)
+    if args.grid_search:
+        X, y = kmeans_compress(feats, labels, clusters=args.clusters,
+                               seed=args.seed)
+        rows, best = grid_search_tsne(X, seed=args.seed)
+        emb = best["embedding"]
+        from ..utils.results import append_results
+        out_dir = os.path.dirname(os.path.abspath(args.out))
+        for row in rows:
+            append_results(out_dir, args.fold, row, suffix="tSNE_grid")
+        print("best t-SNE params:",
+              {k: v for k, v in best.items() if k != "embedding"})
+    else:
+        emb, y = kmeans_tsne(feats, labels, clusters=args.clusters,
+                             seed=args.seed)
     np.savez(args.out, embedding=emb, labels=y,
              class_names=list(files_by_class))
     print(f"saved {len(emb)} embedded points -> {args.out}")

@@ -104,13 +104,26 @@ def smooth_predictions(prob: np.ndarray, win_size: int = 501
 @dataclass
 class StreamingSegmenter:
     """Dense per-frame S/M probabilities over an arbitrarily long
-    featuregram."""
+    featuregram.
+
+    Two slab drivers produce identical tracks:
+
+    - ``use_scan=False`` (default): plain Python over one jit-compiled
+      fixed-shape call per slab — the direct analog of the reference's
+      10,000-frame loop (``DAFx12_...py:634-676``).
+    - ``use_scan=True``: the whole slab loop is a single
+      ``lax.scan`` program — the TPU-native unbounded-broadcast form
+      SURVEY.md §5 names: one dispatch for the entire recording, window
+      extraction via static strided slices inside the scan body.
+      Requires ``predict_fn`` to be jax-traceable.
+    """
     predict_fn: callable           # (B, T, D) or (B, D, W, 1) -> head dict
     patch_size: int = 68
     chunk_frames: int = 10000
     input_kind: str = "time_mel"
     feat_name: str = "LogMelHarmPercSpec"
     standardize: bool = True
+    use_scan: bool = False
 
     def _window_batch(self, fv: np.ndarray, start: int, count: int
                       ) -> np.ndarray:
@@ -125,22 +138,27 @@ class StreamingSegmenter:
         wins = sliding_window_view(seg, W, axis=1)   # (D, count, W)
         return np.ascontiguousarray(np.moveaxis(wins, 1, 0))  # (count, D, W)
 
+    def _standardized(self, fv: np.ndarray) -> np.ndarray:
+        if not self.standardize:
+            return fv
+        dual = "HarmPerc" in self.feat_name
+        if dual:
+            half = fv.shape[0] // 2
+            return np.concatenate([
+                np.asarray(standardize_rows(fv[:half])),
+                np.asarray(standardize_rows(fv[half:]))], axis=0)
+        return np.asarray(standardize_rows(fv))
+
     def frame_probabilities(self, fv: np.ndarray) -> dict:
         """``fv``: (D, T) featuregram -> dict of per-window probability
         tracks (length T - patch_size + 1)."""
-        if self.standardize:
-            dual = "HarmPerc" in self.feat_name
-            if dual:
-                half = fv.shape[0] // 2
-                fv = np.concatenate([
-                    np.asarray(standardize_rows(fv[:half])),
-                    np.asarray(standardize_rows(fv[half:]))], axis=0)
-            else:
-                fv = np.asarray(standardize_rows(fv))
+        fv = self._standardized(fv)
         D, T = fv.shape
         n_windows = T - self.patch_size + 1
         if n_windows <= 0:
             raise ValueError("featuregram shorter than one window")
+        if self.use_scan:
+            return self._frame_probabilities_scan(fv, n_windows)
 
         chunk = min(self.chunk_frames, n_windows)
         tracks: dict[str, list] = {}
@@ -162,6 +180,51 @@ class StreamingSegmenter:
                 tracks.setdefault(k, []).append(np.asarray(v)[:count])
             start += count
         return {k: np.concatenate(v, axis=0) for k, v in tracks.items()}
+
+    def _frame_probabilities_scan(self, fv: np.ndarray, n_windows: int
+                                  ) -> dict:
+        """One ``lax.scan`` over slabs: the entire recording's dense
+        prediction is a single XLA program (one dispatch, weights stay
+        resident, no host round-trips between slabs)."""
+        import jax
+        from jax import lax
+
+        W = self.patch_size
+        D, T = fv.shape
+        chunk = min(self.chunk_frames, n_windows)
+        n_slabs = -(-n_windows // chunk)
+        # Edge-pad time so every slab is full width; the surplus windows
+        # are trimmed after the scan, so the pad values never escape.
+        T_pad = n_slabs * chunk + W - 1
+        fvp = np.pad(fv, ((0, 0), (0, T_pad - T)), mode="edge")
+
+        def program(fv_dev):
+            starts = jnp.arange(n_slabs) * chunk
+
+            def step(carry, start):
+                seg = lax.dynamic_slice(fv_dev, (0, start),
+                                        (D, chunk + W - 1))
+                # (chunk, D, W) windows from W static strided slices — no
+                # gathers (TPU fancy-index gathers scalarize).
+                wins = jnp.stack(
+                    [lax.slice_in_dim(seg, k, k + chunk, axis=1)
+                     for k in range(W)], axis=-1)
+                wins = jnp.moveaxis(wins, 1, 0)
+                if self.input_kind == "time_mel":
+                    batch = jnp.transpose(wins, (0, 2, 1))
+                else:
+                    batch = wins[..., None]
+                out = self.predict_fn(batch)
+                if not isinstance(out, dict):
+                    out = {"3C": out}
+                return carry, out
+
+            _, outs = lax.scan(step, None, starts)
+            return outs
+
+        outs = jax.jit(program)(jnp.asarray(fvp))
+        return {k: np.asarray(v).reshape((-1,) + v.shape[2:])[:n_windows]
+                for k, v in outs.items()}
 
     def segment(self, fv: np.ndarray, *, head: str = "S",
                 smooth_win: int = 501):

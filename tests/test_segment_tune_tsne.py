@@ -79,6 +79,61 @@ def test_streaming_segmenter_chunks():
     np.testing.assert_allclose(prob, prob2, atol=1e-6)
 
 
+def test_streaming_segmenter_scan_matches_slab_loop():
+    """The lax.scan driver must reproduce the Python slab loop exactly on
+    a long track, including ragged final slabs and chunk boundaries."""
+    rng = np.random.default_rng(1)
+    D, T, W = 6, 1237, 16   # n_windows=1222: not a multiple of chunk=100
+    fv = (0.1 * rng.standard_normal((D, T)) - 1.0).astype(np.float32)
+    fv[:, 400:700] += 3.0
+
+    def fake_predict(batch):  # (B, W, D) time_mel, jax-traceable
+        s = 20.0 * jnp.mean(batch, axis=(1, 2))
+        return {"S": jax.nn.sigmoid(s)[:, None],
+                "M": jax.nn.sigmoid(-s)[:, None]}
+
+    kw = dict(predict_fn=fake_predict, patch_size=W, chunk_frames=100,
+              feat_name="LogMelSpec", standardize=False)
+    loop = StreamingSegmenter(**kw)
+    scan = StreamingSegmenter(**kw, use_scan=True)
+    t1 = loop.frame_probabilities(fv)
+    t2 = scan.frame_probabilities(fv)
+    assert set(t1) == set(t2)
+    for k in t1:
+        assert t1[k].shape == t2[k].shape == (T - W + 1, 1)
+        np.testing.assert_allclose(t1[k], t2[k], atol=1e-6)
+
+
+def test_streaming_segmenter_scan_mel_time_kind():
+    rng = np.random.default_rng(2)
+    D, T, W = 4, 96, 8
+
+    def fake_predict(batch):  # (B, D, W, 1) mel_time
+        return jnp.mean(batch, axis=(1, 2, 3), keepdims=False)[:, None]
+
+    fv = rng.standard_normal((D, T)).astype(np.float32)
+    kw = dict(predict_fn=fake_predict, patch_size=W, chunk_frames=30,
+              input_kind="mel_time", feat_name="LogMelSpec",
+              standardize=False)
+    t1 = StreamingSegmenter(**kw).frame_probabilities(fv)
+    t2 = StreamingSegmenter(**kw, use_scan=True).frame_probabilities(fv)
+    np.testing.assert_allclose(t1["3C"], t2["3C"], atol=1e-6)
+
+
+def test_tsne_grid_search_scores_and_best():
+    from sm_hpss_mtl_tpu.cli.tsne import grid_search_tsne
+    rng = np.random.default_rng(0)
+    X = np.concatenate([rng.normal(0, 1, (30, 5)),
+                        rng.normal(6, 1, (30, 5))])
+    rows, best = grid_search_tsne(X, perplexities=[5, 10],
+                                  exaggerations=[4], learning_rates=[100],
+                                  seed=0)
+    assert len(rows) == 2
+    assert all(np.isfinite(r["kl"]) for r in rows)
+    assert best["kl"] == min(r["kl"] for r in rows)
+    assert best["embedding"].shape == (60, 2)
+
+
 def test_tune_grid_tiny(toy_root, tmp_path):
     from sm_hpss_mtl_tpu.cli import tune
     rows, best = tune.main([
