@@ -1,0 +1,113 @@
+"""TPU-side Pallas parity runner.
+
+Runs the fused HPSS / HPSS+mel Pallas kernels on the REAL chip at
+production shapes (F=201/257, T odd / at / across tile boundaries,
+n_mels=120) against the jnp oracle (``ops/hpss.py``, f32 HIGHEST) and
+the host numpy reference, and writes ``PARITY_TPU_r{N}.json``.
+
+This pins the claim CPU interpret-mode tests can't: the Mosaic-compiled
+kernel on v5e is (expected) bit-exact to the oracle at the shapes the
+framework actually runs (BASELINE.json mask-fidelity bar <1e-3).
+
+    python tools/parity_tpu.py --out PARITY_TPU_r2.json
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def rel_err(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    denom = np.maximum(np.abs(b), 1e-12)
+    return float(np.max(np.abs(a - b) / denom))
+
+
+def max_abs(a, b):
+    return float(np.max(np.abs(np.asarray(a, np.float64)
+                               - np.asarray(b, np.float64))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="PARITY_TPU_r2.json")
+    p.add_argument("--tile-t", type=int, default=364)
+    args = p.parse_args(argv)
+
+    from sm_hpss_mtl_tpu.ops import hpss as oracle
+    from sm_hpss_mtl_tpu.ops import hpss_pallas as kern
+    from sm_hpss_mtl_tpu.ops.reference import mel_filterbank
+
+    backend = jax.default_backend()
+    rng = np.random.default_rng(0)
+    tile = args.tile_t
+
+    # Production geometries: n_fft=400 -> F=201, n_fft=512 -> F=257 (Jang);
+    # T: shorter than a tile, exactly one tile, odd & across tiles, and a
+    # many-tile 30 s clip (T=2998 @ hop 160).
+    cases = []
+    for F in (201, 257):
+        for T in (97, 363, tile, tile + 1, 2 * tile, 1093, 2998):
+            cases.append((F, T))
+
+    results = {"backend": backend, "tile_t": tile, "l_harm": 21,
+               "l_perc": 11, "cases": [], "mel_cases": []}
+    ok = True
+
+    for F, T in cases:
+        S = jnp.asarray(np.abs(rng.standard_normal((2, F, T)))
+                        .astype(np.float32)) ** 2
+        Hk, Pk = kern.hpss(S, l_harm=21, l_perc=11, tile_t=tile)
+        Ho, Po = oracle.hpss(S, l_harm=21, l_perc=11)
+        jax.block_until_ready((Hk, Pk, Ho, Po))
+        row = {"F": F, "T": T,
+               "max_abs_H": max_abs(Hk, Ho), "max_abs_P": max_abs(Pk, Po),
+               "rel_H": rel_err(Hk, Ho), "rel_P": rel_err(Pk, Po),
+               "bitexact": bool(np.array_equal(np.asarray(Hk), np.asarray(Ho))
+                                and np.array_equal(np.asarray(Pk),
+                                                   np.asarray(Po)))}
+        results["cases"].append(row)
+        ok &= row["rel_H"] < 1e-3 and row["rel_P"] < 1e-3
+        print(f"hpss F={F} T={T}: rel_H={row['rel_H']:.3e} "
+              f"rel_P={row['rel_P']:.3e} bitexact={row['bitexact']}")
+
+    # Fused HPSS+mel at the flagship config (n_mels=120) and the Jang one.
+    for F, n_fft, n_mels, T in ((201, 400, 120, 1093), (257, 512, 120, 2998)):
+        S = jnp.asarray(np.abs(rng.standard_normal((2, F, T)))
+                        .astype(np.float32)) ** 2
+        M = jnp.asarray(mel_filterbank(16000, n_fft, n_mels))
+        mh, mp = kern.hpss_mel(S, M, l_harm=21, l_perc=11, tile_t=tile)
+        Ho, Po = oracle.hpss(S, l_harm=21, l_perc=11)
+        ein = lambda X: jnp.einsum("mf,bft->bmt", M, X,
+                                   precision=jax.lax.Precision.HIGHEST,
+                                   preferred_element_type=jnp.float32)
+        mo_h, mo_p = ein(Ho), ein(Po)
+        jax.block_until_ready((mh, mp, mo_h, mo_p))
+        # The mel matmul reassociates; compare against the oracle product
+        # with an fp32-matmul tolerance, plus the BASELINE relative bar.
+        row = {"F": F, "n_mels": n_mels, "T": T,
+               "max_abs_melH": max_abs(mh, mo_h),
+               "max_abs_melP": max_abs(mp, mo_p),
+               "rel_melH": rel_err(mh, mo_h), "rel_melP": rel_err(mp, mo_p)}
+        results["mel_cases"].append(row)
+        ok &= row["rel_melH"] < 1e-3 and row["rel_melP"] < 1e-3
+        print(f"hpss_mel F={F} T={T}: rel_melH={row['rel_melH']:.3e} "
+              f"rel_melP={row['rel_melP']:.3e}")
+
+    results["pass"] = bool(ok)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(("PASS" if ok else "FAIL"), "->", args.out)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
