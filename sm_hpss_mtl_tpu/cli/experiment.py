@@ -68,10 +68,15 @@ def run_fold(config: ExperimentConfig, cv_file_list: dict, fold: int,
     """
     import jax.numpy as jnp
     dtype = (jnp.bfloat16 if config.compute_dtype == "bfloat16" else None)
+    # Presets with n_mels=-1 (Papakostas/Jang) mean "raw-spectrogram
+    # features"; the model keeps its OWN mel geometry then (Jang's
+    # internal mel-scale layer is 64/120 bands,
+    # ``proposed_architectures.py:650``) — don't override it.
+    preset_mels = config.feature_config().n_mels
+    mels_kw = {"n_mels": preset_mels} if preset_mels > 0 else {}
     spec = get_model(config.model, n_classes=config.n_classes,
-                     n_mels=max(config.feature_config().n_mels, 1),
                      dropout_rate=config.dropout_rate, dtype=dtype,
-                     **(config.arch_kwargs or {}))
+                     **mels_kw, **(config.arch_kwargs or {}))
     feat_cfg = config.feature_config()
     cache_dir = (os.path.join(config.feature_dir, config.model,
                               feat_cfg.feat_name)

@@ -62,7 +62,8 @@ def main(argv=None):
         x, sr = read_audio(args.audio)
         fv = fz._compute(x)
 
-    spec = get_model(args.model, n_mels=max(preset["n_mels"], 1))
+    mels_kw = ({"n_mels": preset["n_mels"]} if preset["n_mels"] > 0 else {})
+    spec = get_model(args.model, **mels_kw)
     opt, _ = for_model(args.model, tr_steps=1)
     input_kind = ("time_mel" if args.model.startswith("Lemaire") else "image")
     if input_kind == "time_mel":

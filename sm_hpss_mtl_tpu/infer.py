@@ -41,8 +41,9 @@ class Classifier:
         feat_cfg = FeatureConfig(feat_name=preset["feat_name"],
                                  n_fft=preset["n_fft"],
                                  n_mels=preset["n_mels"])
-        spec = get_model(model, n_classes=n_classes,
-                         n_mels=max(preset["n_mels"], 1))
+        mels_kw = ({"n_mels": preset["n_mels"]}
+                   if preset["n_mels"] > 0 else {})
+        spec = get_model(model, n_classes=n_classes, **mels_kw)
         input_kind = ("time_mel" if any(model.startswith(m)
                                         for m in TIME_MAJOR_MODELS)
                       else "image")

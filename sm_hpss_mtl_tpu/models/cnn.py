@@ -18,6 +18,7 @@ implemented as an avg-pool over the channel axis so XLA fuses it.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .heads import BN_KW, KDense, MTLHeads
@@ -33,18 +34,24 @@ _PAPA_B = nn.initializers.constant(0.1)
 
 def local_response_normalization(x, depth_radius: int = 5, bias: float = 1.0,
                                  alpha: float = 1e-4, beta: float = 0.75):
-    """TF-semantics LRN over the channel (last) axis."""
-    sq = x ** 2
-    # Sum over a window of 2r+1 channels, zero-padded.
-    pad = [(0, 0)] * (x.ndim - 1) + [(depth_radius, depth_radius)]
-    sq = jnp.pad(sq, pad)
-    win = 2 * depth_radius + 1
-    # Cumulative-sum sliding window: O(C) instead of O(C*win).
-    cs = jnp.cumsum(sq, axis=-1)
-    zeros = jnp.zeros_like(cs[..., :1])
-    cs = jnp.concatenate([zeros, cs], axis=-1)
-    summed = cs[..., win:] - cs[..., :-win]
-    return x / (bias + alpha * summed) ** beta
+    """TF-semantics LRN over the channel (last) axis.
+
+    The windowed channel sum is a banded (C, C) 0/1 matmul so it runs on
+    the MXU.  Channels are the TPU lane dimension; the once-obvious
+    cumsum formulation serializes along lanes (measured ~2 ms for a
+    (48, 49, 7, 384) activation — slower than the surrounding convs),
+    while the band matmul is a constant-folded weight away from peak.
+    """
+    C = x.shape[-1]
+    i = jnp.arange(C)
+    band = (jnp.abs(i[:, None] - i[None, :]) <= depth_radius)
+    f32 = x.astype(jnp.float32)
+    # HIGH: matches HIGHEST to 5e-6 here (bias dominates the denominator)
+    # at half its measured cost; DEFAULT drifts to ~3e-4.
+    summed = jnp.einsum("...c,cd->...d", f32 * f32,
+                        band.astype(jnp.float32),
+                        precision=jax.lax.Precision.HIGH)
+    return (f32 / (bias + alpha * summed) ** beta).astype(x.dtype)
 
 
 class _ConvBNRelu(nn.Module):

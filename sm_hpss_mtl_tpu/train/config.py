@@ -77,6 +77,15 @@ class ExperimentConfig:
     l2_reg: float = 0.01
     #: parallel host pipelines feeding the training stream
     prefetch_workers: int = 2
+    #: 'host' = featurize on host, feed patch batches (reference-parity
+    #: semantics); 'device' = host streams raw-audio crops and
+    #: STFT/HPSS/mel/patching/training run in ONE XLA program
+    #: (train.endtoend) — the TPU-native fast path, ~20-40x less host
+    #: work per step (see data/audiostream.py for the semantic deltas)
+    pipeline: str = "host"
+    #: device pipeline: patches per sampled clip crop (clips per class =
+    #: ceil(batch_size / clip_patches))
+    clip_patches: int = 4
     #: 'float32' (reference parity) or 'bfloat16' (mixed-precision compute;
     #: params, BatchNorm stats, head outputs and losses stay f32)
     compute_dtype: str = "float32"

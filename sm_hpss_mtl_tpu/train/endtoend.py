@@ -71,11 +71,13 @@ def make_audio_train_step(model, optimizer, cfg: FeatureConfig, *,
                           patch_size: int, patch_shift: int,
                           input_kind: str = "time_mel", mtl: bool = True,
                           loss_weights: dict | None = None,
+                          l2_reg: float = 0.0,
                           augment_noise: bool = False,
                           use_pallas: bool | None = None,
                           n_patches_per_clip: int | None = None) -> Callable:
     """Jitted ``(state, audio (B,n), clip_labels, rng) -> (state, metrics)``
     doing featurization and the optimizer update in one program."""
+    import flax
     import optax
 
     def loss_fn(params, batch_stats, audio, labels, rng):
@@ -95,6 +97,13 @@ def make_audio_train_step(model, optimizer, cfg: FeatureConfig, *,
         else:
             total = categorical_crossentropy(outputs, labels)
             per_head = {"3C": total}
+        if l2_reg:
+            reg = sum(jnp.sum(x ** 2)
+                      for path, x in
+                      flax.traverse_util.flatten_dict(params).items()
+                      if path[-1] == "kernel"
+                      and any("heads" in p or "melCl" in p for p in path))
+            total = total + l2_reg * reg
         return total, (per_head, mutated["batch_stats"], outputs, labels)
 
     @jax.jit
@@ -109,9 +118,42 @@ def make_audio_train_step(model, optimizer, cfg: FeatureConfig, *,
                    **{f"{key}_loss": v for key, v in per_head.items()}}
         out3 = outputs["3C"] if mtl else outputs
         lab3 = plabels["3C"] if mtl else plabels
-        metrics["accuracy"] = jnp.mean(jnp.argmax(out3, -1)
-                                       == jnp.argmax(lab3, -1))
+        acc = jnp.mean(jnp.argmax(out3, -1) == jnp.argmax(lab3, -1))
+        metrics["3C_accuracy" if mtl else "accuracy"] = acc
         return TrainState(params=new_params, batch_stats=new_stats,
                           opt_state=new_opt, step=state.step + 1), metrics
 
     return step
+
+
+def make_audio_eval_step(model, cfg: FeatureConfig, *, patch_size: int,
+                         patch_shift: int, input_kind: str = "time_mel",
+                         mtl: bool = True,
+                         loss_weights: dict | None = None,
+                         use_pallas: bool | None = None) -> Callable:
+    """Jitted ``(state, audio, clip_labels) -> metrics`` — the eval analog
+    of :func:`make_audio_train_step` (featurize + forward + losses in one
+    program; keys match ``train.state.make_eval_step``)."""
+
+    @jax.jit
+    def eval_step(state: TrainState, audio, labels):
+        batch = device_featurize_patches(
+            audio, cfg, patch_size=patch_size, patch_shift=patch_shift,
+            input_kind=input_kind, use_pallas=use_pallas)
+        k = batch.shape[0] // audio.shape[0]
+        labels_p = _broadcast_labels(labels, k)
+        outputs = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch, train=False)
+        if mtl:
+            total, per_head = mtl_loss(outputs, labels_p, loss_weights)
+            acc = jnp.mean(jnp.argmax(outputs["3C"], -1)
+                           == jnp.argmax(labels_p["3C"], -1))
+            return {"loss": total, "accuracy": acc,
+                    **{f"{key}_loss": v for key, v in per_head.items()}}
+        total = categorical_crossentropy(outputs, labels_p)
+        acc = jnp.mean(jnp.argmax(outputs, -1)
+                       == jnp.argmax(labels_p, -1))
+        return {"loss": total, "accuracy": acc}
+
+    return eval_step

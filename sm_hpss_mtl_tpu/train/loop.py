@@ -45,18 +45,31 @@ def fit(model, optimizer, train_iter, val_iter, *, mtl: bool,
         augment_noise: bool = False, rng=None,
         patience: int = 5, min_delta: float = 0.01,
         checkpoint_dir: str | None = None, csv_log: str | None = None,
+        train_step=None, eval_step=None, sample_state_input=None,
         verbose: bool = True) -> FitResult:
-    """Train with early stopping on val loss; restores best weights."""
+    """Train with early stopping on val loss; restores best weights.
+
+    ``train_step``/``eval_step`` override the default patch-batch steps —
+    the on-device audio pipeline passes
+    ``endtoend.make_audio_{train,eval}_step`` here, with
+    ``sample_state_input`` the model-ready sample that initializes the
+    state when the iterator yields raw audio instead of patches.
+    """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     if state is None:
-        if sample_batch is None:
-            sample_batch, _ = next(train_iter)
-        state = TrainState.create(model, optimizer, sample_batch, rng)
+        if sample_state_input is None:
+            if sample_batch is None:
+                sample_batch, _ = next(train_iter)
+            sample_state_input = sample_batch
+        state = TrainState.create(model, optimizer, sample_state_input, rng)
 
-    train_step = make_train_step(model, optimizer, mtl=mtl,
-                                 loss_weights=loss_weights, l2_reg=l2_reg,
-                                 augment_noise=augment_noise)
-    eval_step = make_eval_step(model, mtl=mtl, loss_weights=loss_weights)
+    if train_step is None:
+        train_step = make_train_step(model, optimizer, mtl=mtl,
+                                     loss_weights=loss_weights,
+                                     l2_reg=l2_reg,
+                                     augment_noise=augment_noise)
+    if eval_step is None:
+        eval_step = make_eval_step(model, mtl=mtl, loss_weights=loss_weights)
 
     result = FitResult(state=state)
     best_payload = None

@@ -1,0 +1,158 @@
+"""Per-model step-time profiler (VERDICT r1 weak #4).
+
+Times, on the real chip with the tunnel-honest ``time_op``:
+
+  * the full jitted MTL train step at the reference batch (48) and each
+    model's reference input geometry,
+  * the forward pass alone,
+  * isolated sub-blocks (conv trunk / LRN / dense stack) for the CNNs,
+
+and reports XLA's cost analysis (FLOPs) so achieved FLOP/s vs the v5e
+roofline tells whether a step time is a lowering problem or an honest
+roofline.  Writes one JSON with everything.
+
+    python tools/profile_models.py --out PROFILE_models.json
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sm_hpss_mtl_tpu.models import get_model
+from sm_hpss_mtl_tpu.train import TrainState, for_model
+from sm_hpss_mtl_tpu.train.state import make_train_step
+from sm_hpss_mtl_tpu.utils.benchmarking import time_op
+
+# Reference geometries: (model, input shape at batch 48, W=68).
+CASES = {
+    "Doukhan_et_al_MTL": (48, 240, 68, 1),       # MelHarmPercSpec 120x2
+    "Papakostas_et_al_MTL": (48, 402, 68, 1),    # HarmPercSpec 201x2
+    "Jang_et_al_MTL": (48, 514, 68, 1),          # LogHarmPercSpec 257x2
+    "Lemaire_et_al_MTL": (48, 68, 240),          # time_mel
+}
+
+
+def mtl_labels(n):
+    y = np.arange(n) % 3
+    onehot = np.zeros((n, 3), np.float32)
+    onehot[np.arange(n), y] = 1
+    return {
+        "S": jnp.asarray((y == 1).astype(np.float32)),
+        "M": jnp.asarray((y == 0).astype(np.float32)),
+        "R": jnp.asarray(np.stack([(y == 0), (y == 1)], -1)
+                         .astype(np.float32)),
+        "3C": jnp.asarray(onehot),
+    }
+
+
+def flops_of(fn, *args):
+    try:
+        comp = jax.jit(fn).lower(*args).compile()
+        cost = comp.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost.get("flops", float("nan")))
+    except Exception:
+        return float("nan")
+
+
+def time_train_step(spec, x, labels, rng):
+    opt, _ = for_model("Lemaire_et_al_MTL", tr_steps=1000)
+    state = TrainState.create(spec.module, opt, x, rng)
+    step = make_train_step(spec.module, opt, mtl=True)
+
+    def carry_step(carry):
+        st, xx = carry
+        st2, _ = step(st, xx, labels, rng)
+        return (st2, xx)
+
+    t = time_op(carry_step, (state, x), iters=(2, 10), repeats=3)
+    fl = flops_of(lambda s, xx: step(s, xx, labels, rng)[0].params, state, x)
+    return t, fl
+
+
+def time_forward(spec, x, rng):
+    variables = spec.module.init({"params": rng, "dropout": rng}, x,
+                                 train=False)
+
+    # Weights ride the carry, NOT a closure: closed-over params are baked
+    # into the HLO as constants, and the tunnel rejects >~100 MB uploads.
+    def fwd(vv, xx):
+        out = spec.module.apply(vv, xx, train=False)
+        return out["3C"] if isinstance(out, dict) else out
+
+    def carry_step(carry):
+        vv, xx = carry
+        p = fwd(vv, xx)
+        return (vv, xx * (1.0 + 1e-12 * jnp.sum(p)))
+
+    t = time_op(carry_step, (variables, x), iters=(2, 10), repeats=3)
+    return t, flops_of(fwd, variables, x)
+
+
+def time_block(fn, x):
+    def carry_step(xx):
+        y = fn(xx)
+        s = jnp.sum(y.astype(jnp.float32))
+        return xx * (1.0 + 1e-12 * s)
+    return time_op(carry_step, x, iters=(2, 10), repeats=3), flops_of(fn, x)
+
+
+def lrn_block(x):
+    from sm_hpss_mtl_tpu.models.cnn import local_response_normalization
+    return local_response_normalization(x)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="PROFILE_models.json")
+    args = p.parse_args(argv)
+    rng = jax.random.PRNGKey(0)
+    labels = mtl_labels(48)
+    report = {"backend": jax.default_backend(), "models": {}}
+
+    for name, shape in CASES.items():
+        x = jax.random.normal(rng, shape, jnp.float32)
+        # Zoo defaults = reference geometry (Jang MTL keeps its internal
+        # 120-band mel-scale layer regardless of the raw-spec features).
+        spec = get_model(name)
+        t_step, fl_step = time_train_step(spec, x, labels, rng)
+        t_fwd, fl_fwd = time_forward(spec, x, rng)
+        spec16 = get_model(name, dtype=jnp.bfloat16)
+        t16, fl16 = time_train_step(spec16, x, labels, rng)
+        row = {
+            "input": list(shape),
+            "train_step_ms": round(t_step * 1e3, 3),
+            "train_step_gflops": round(fl_step / 1e9, 2),
+            "train_step_tflops_per_s": round(fl_step / t_step / 1e12, 2),
+            "train_step_bf16_ms": round(t16 * 1e3, 3),
+            "forward_ms": round(t_fwd * 1e3, 3),
+            "forward_gflops": round(fl_fwd / 1e9, 2),
+            "forward_tflops_per_s": round(fl_fwd / t_fwd / 1e12, 2),
+        }
+        report["models"][name] = row
+        print(name, json.dumps(row), flush=True)
+
+    # Isolated LRN at Papakostas' two call sites.
+    for tag, shape in (("lrn_c1", (48, 199, 32, 96)),
+                       ("lrn_c2", (48, 49, 7, 384))):
+        x = jax.random.normal(rng, shape, jnp.float32)
+        t, fl = time_block(lrn_block, x)
+        report[tag] = {"shape": list(shape), "ms": round(t * 1e3, 3)}
+        print(tag, report[tag], flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print("->", args.out)
+
+
+if __name__ == "__main__":
+    main()
