@@ -46,6 +46,57 @@ def split_train_val(train_files: dict, frac: float = 0.7, seed: int = 0):
     return tr, va
 
 
+def _device_pipeline(config, spec, feat_cfg, tr_files, va_files, data_seed,
+                     optimizer):
+    """Build the on-device-featurize training legs (pipeline='device'):
+    raw-audio crop iterators + fused audio->features->train/eval steps
+    (``train.endtoend``).  Host work per step drops to memmap slices."""
+    import jax.numpy as jnp
+
+    from ..data.audiostream import AudioCache, AudioCropBatcher
+    from ..train.endtoend import (device_featurize_patches,
+                                  make_audio_eval_step,
+                                  make_audio_train_step)
+
+    if spec.input_kind == "dual" or config.skewness_vector \
+            or config.frame_level_scaling:
+        raise ValueError(
+            "pipeline='device' supports the standard single-tower patch "
+            "configs (no dual-tower/skewness/frame-scaling); use "
+            "pipeline='host' for those")
+
+    k = max(config.clip_patches, 1)
+    clips = max(1, -(-config.batch_size // k))
+    cache_root = config.feature_dir or config.output_dir
+    cache = AudioCache(
+        cache_dir=os.path.join(cache_root, "audio_cache") if cache_root
+        else None, Tw=config.Tw, Ts=config.Ts)
+
+    def batcher(files, seed):
+        return AudioCropBatcher(cache, config.data_root, files, feat_cfg,
+                                clips_per_class=clips, n_patches_per_clip=k,
+                                patch_size=config.patch_size, seed=seed)
+
+    train_iter = DevicePrefetcher(batcher(tr_files, data_seed + 100))
+    val_iter = DevicePrefetcher(batcher(va_files, data_seed + 1))
+
+    step_kw = dict(patch_size=config.patch_size,
+                   patch_shift=config.patch_shift,
+                   input_kind=config.input_kind, mtl=spec.mtl,
+                   loss_weights=config.loss_weights)
+    train_step = make_audio_train_step(
+        spec.module, optimizer, feat_cfg,
+        l2_reg=config.l2_reg if spec.mtl else 0.0,
+        augment_noise=config.augment_noise, **step_kw)
+    eval_step = make_audio_eval_step(spec.module, feat_cfg, **step_kw)
+
+    sample_audio, _ = next(train_iter)
+    sample_input = device_featurize_patches(
+        jnp.asarray(sample_audio), feat_cfg, patch_size=config.patch_size,
+        patch_shift=config.patch_shift, input_kind=config.input_kind)
+    return train_iter, val_iter, train_step, eval_step, sample_input
+
+
 def class_names_for(n_classes: int) -> list[str]:
     names = ["music", "speech", "speech+music", "noise", "speech+noise"]
     if n_classes == 2:
@@ -121,31 +172,53 @@ def run_fold(config: ExperimentConfig, cv_file_list: dict, fold: int,
         for x, labels in it:
             yield (x, labels) if spec.mtl else (x, labels["3C"])
 
-    n_workers = max(config.prefetch_workers, 1)
-    train_iter = DevicePrefetcher([
-        _label_map(BalancedBatcher(fz, config.data_root, tr_files,
-                                   replace(bcfg, seed=data_seed + 100 + w),
-                                   fold_stats=fold_stats))
-        for w in range(n_workers)])
-    val_iter = DevicePrefetcher(_label_map(
-        BalancedBatcher(fz, config.data_root, va_files,
-                        replace(bcfg, augment_noise=False,
-                                seed=data_seed + 1),
-                        fold_stats=fold_stats)))
-
     optimizer, _ = for_model(config.model,
                              tr_steps=max(config.lr_schedule_steps
                                           or config.tr_steps, 1))
+
+    step_overrides = {}
+    sample_model_input = None
+    if config.pipeline == "device":
+        (raw_train, raw_val, audio_train_step, audio_eval_step,
+         sample_model_input) = _device_pipeline(
+            config, spec, feat_cfg, tr_files, va_files, data_seed,
+            optimizer)
+        closers = (raw_train, raw_val)
+        train_iter = _label_map(raw_train)
+        val_iter = _label_map(raw_val)
+        step_overrides = {"train_step": audio_train_step,
+                          "eval_step": audio_eval_step,
+                          "sample_state_input": sample_model_input}
+    else:
+        n_workers = max(config.prefetch_workers, 1)
+        closers = None
+        train_iter = DevicePrefetcher([
+            _label_map(BalancedBatcher(fz, config.data_root, tr_files,
+                                       replace(bcfg,
+                                               seed=data_seed + 100 + w),
+                                       fold_stats=fold_stats))
+            for w in range(n_workers)])
+        val_iter = DevicePrefetcher(_label_map(
+            BalancedBatcher(fz, config.data_root, va_files,
+                            replace(bcfg, augment_noise=False,
+                                    seed=data_seed + 1),
+                            fold_stats=fold_stats)))
+
     op_dir = os.path.join(config.output_dir, config.model,
                           feat_cfg.feat_name)
     os.makedirs(op_dir, exist_ok=True)
+
+    def _model_sample():
+        if sample_model_input is not None:
+            return sample_model_input
+        sample, _ = next(train_iter)
+        return sample
 
     summary_path = os.path.join(op_dir, "model_summary.txt")
     if not os.path.exists(summary_path):
         try:
             from ..utils.results import dump_model_summary
-            sample, _ = next(train_iter)
-            dump_model_summary(summary_path, spec.module, sample)
+            dump_model_summary(summary_path, spec.module, _model_sample())
         except Exception as e:  # summary is best-effort, never fatal
             print(f"model summary skipped: {type(e).__name__}: {e}")
 
@@ -153,8 +226,7 @@ def run_fold(config: ExperimentConfig, cv_file_list: dict, fold: int,
     from ..train import TrainState, checkpoint_exists, restore_checkpoint
     from ..train.loop import FitResult
     if resume and checkpoint_exists(ckpt_dir):
-        sample_batch, _ = next(train_iter)
-        template = TrainState.create(spec.module, optimizer, sample_batch,
+        template = TrainState.create(spec.module, optimizer, _model_sample(),
                                      jax.random.PRNGKey(config.seed))
         state, meta = restore_checkpoint(ckpt_dir, template)
         result = FitResult(state=state,
@@ -174,10 +246,11 @@ def run_fold(config: ExperimentConfig, cv_file_list: dict, fold: int,
                      rng=jax.random.PRNGKey(config.seed),
                      checkpoint_dir=ckpt_dir,
                      csv_log=os.path.join(op_dir, f"fold{fold}_log.csv"),
+                     **step_overrides,
                      verbose=verbose)
 
-    train_iter.close()
-    val_iter.close()
+    for it in closers or (train_iter, val_iter):
+        it.close()
 
     predict = make_predict(spec.module)
     tester = FileWiseTester(

@@ -39,6 +39,13 @@ def build_parser(default_model: str = "Lemaire_et_al_MTL"):
     p.add_argument("--skewness-vector", choices=["Row", "Col"], default=None)
     p.add_argument("--bf16", action="store_true",
                    help="mixed-precision compute (bfloat16 activations)")
+    p.add_argument("--pipeline", choices=["host", "device"], default="host",
+                   help="'device' runs featurization inside the train step "
+                        "(host only streams raw-audio crops) — the TPU-"
+                        "native fast path; 'host' is reference-parity "
+                        "patch batching")
+    p.add_argument("--clip-patches", type=int, default=4,
+                   help="device pipeline: patches per sampled clip crop")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -57,6 +64,7 @@ def config_from_args(args) -> ExperimentConfig:
         lr_schedule_steps=args.lr_schedule_steps,
         augment_noise=not args.no_augment, loss_weights=lw,
         compute_dtype="bfloat16" if args.bf16 else "float32",
+        pipeline=args.pipeline, clip_patches=args.clip_patches,
         skewness_vector=args.skewness_vector, seed=args.seed)
 
 

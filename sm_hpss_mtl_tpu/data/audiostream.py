@@ -53,10 +53,14 @@ class AudioCache:
     touches its own pages."""
 
     def __init__(self, cache_dir: str | None = None, Tw: int = 25,
-                 Ts: int = 10):
+                 Ts: int = 10, max_open: int = 512):
         self.cache_dir = cache_dir
         self.Tw, self.Ts = Tw, Ts
         self._mem: dict[str, np.ndarray] = {}
+        # Open-memmap LRU: np.load(mmap_mode) costs ~0.3 ms in open+header
+        # parse — at 12 clips/step that alone would dwarf the device step.
+        self._open: "dict[str, np.ndarray]" = {}
+        self._max_open = max_open
 
     def _compute(self, classname: str, sp_path, mu_path, smr):
         if classname in ("speech_music", "speech_noise"):
@@ -76,13 +80,20 @@ class AudioCache:
                                                smr)
             return self._mem[key]
         npy = os.path.join(self.cache_dir, key + ".npy")
+        mm = self._open.get(npy)
+        if mm is not None:
+            return mm
         if not os.path.exists(npy):
             os.makedirs(os.path.dirname(npy), exist_ok=True)
             audio = self._compute(classname, sp_path, mu_path, smr)
             tmp = npy + f".tmp{os.getpid()}.npy"
             np.save(tmp, audio)
             os.replace(tmp, npy)
-        return np.load(npy, mmap_mode="r")
+        mm = np.load(npy, mmap_mode="r")
+        if len(self._open) >= self._max_open:
+            self._open.pop(next(iter(self._open)))
+        self._open[npy] = mm
+        return mm
 
 
 class _FileQueue:
