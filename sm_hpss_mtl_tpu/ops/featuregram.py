@@ -102,20 +102,25 @@ def featuregram(y: jax.Array, *, feat_name: str, sr: int = 16000,
         return fv.astype(jnp.float32)
 
     # HPSS branches.
-    S = stft_mod.stft_mag(y, n_fft=n_fft, win_length=win_length,
-                          hop_length=hop_length)
     if use_pallas and mel:
-        # Fully fused kernel: medians + masks + mel projection in one
-        # pass; full-resolution H/P never leave the chip.
-        from . import hpss_pallas
+        # Fully fused frontend: windowed DFT + medians + masks + mel in
+        # one Pallas pass — the full-resolution spectrogram never
+        # touches HBM (ops.frontend_pallas).
+        from . import frontend_pallas
         M = mel_mod.mel_filterbank(_MEL_SR_QUIRK, n_fft, n_mels)
-        H, P = hpss_pallas.hpss_mel(S, M, l_harm=l_harm, l_perc=l_perc)
+        H, P = frontend_pallas.stft_hpss_mel(
+            y, M, n_fft=n_fft, win_length=win_length,
+            hop_length=hop_length, l_harm=l_harm, l_perc=l_perc)
         already_mel = True
     elif use_pallas:
         from . import hpss_pallas
+        S = stft_mod.stft_mag(y, n_fft=n_fft, win_length=win_length,
+                              hop_length=hop_length)
         H, P = hpss_pallas.hpss(S, l_harm=l_harm, l_perc=l_perc)
         already_mel = False
     else:
+        S = stft_mod.stft_mag(y, n_fft=n_fft, win_length=win_length,
+                              hop_length=hop_length)
         H, P = hpss_mod.hpss(S, l_harm=l_harm, l_perc=l_perc)
         already_mel = False
 

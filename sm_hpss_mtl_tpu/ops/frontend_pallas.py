@@ -1,0 +1,341 @@
+"""Fully fused audio -> mel-HPSS frontend Pallas kernel for TPU.
+
+Round-1 profiling (NOTES.md) showed the featurize pipeline split evenly
+between the block-matmul STFT (~1.7 ms for 16x30 s) and the fused
+HPSS+mel Pallas kernel (~1.7 ms), with the full-resolution spectrogram
+making an HBM round trip in between.  This module fuses the *entire*
+reference front-end — ``librosa.core.stft`` -> ``decompose.hpss`` ->
+``feature.melspectrogram`` (``/root/reference/lib/preprocessing.py:
+417-422``) — into ONE kernel: each Pallas program reads a raw-audio
+tile from HBM and writes only the two ``(tile_t, n_mels)`` mel-HPSS
+feature tiles.  The spectrogram, the medians, and the masks live and
+die in VMEM, and the MXU (DFT + mel matmuls) overlaps the VPU (median
+selection networks) inside one program.
+
+Design:
+
+- **Framing without gathers.**  Audio is reshaped XLA-side into
+  hop-sized "superblocks"; frame ``t`` occupies superblocks
+  ``[t, t+J)`` with ``J = ceil(n_fft / hop)``.  In-kernel the windowed
+  rDFT is then ``sum_j A[j : j+n_fr] @ D_j`` — J unit-stride sublane
+  slices of the audio tile hit with hop-row slabs of the DFT basis on
+  the MXU.  No strided slices, no transposes: the result lands directly
+  in (frames, freq) layout, which makes the harmonic median a sublane
+  shift and the percussive median a lane shift.
+- **Frequency reflect-pad baked into the basis.**  The percussive
+  median needs ``l_perc//2`` symmetric-padded frequency rows.  A
+  mirrored frequency is just a duplicated DFT basis column, so the
+  basis is built ``(hop*J, 2*(F + l_perc - 1))`` with the mirror
+  columns included and the padded magnitude comes out of the matmul
+  for free (the extra lanes disappear into lane-padding anyway).
+- **Time halos are audio overlap; global edges mirror in-kernel.**
+  Interior tiles read ``l_harm//2`` extra frames of real audio on each
+  side.  At the global start/end the oracle semantics are *symmetric
+  spectral* padding, which no audio halo can express — but the mirror
+  rows are flipped copies of rows already inside the first/last tile,
+  so the kernel stages the magnitude in a VMEM scratch and overwrites
+  the halo rows under ``@pl.when(first/last tile)`` (static row
+  indices; ~10 sublane row copies).  An XLA-side oracle splice was
+  measured first and rejected: the jnp median sort on even a 30-frame
+  slab costs ~1.3 ms — more than half the whole fused kernel.
+- **DFT precision.**  The windowed-DFT matmuls default to a manual
+  bf16x3 decomposition (hi/lo bf16 splits, lo*lo term dropped — ~f32
+  accuracy; Mosaic lacks ``Precision.HIGH``): 3 one-pass MXU matmuls
+  per block vs HIGHEST's 6.  The DFT and the medians serialize on
+  their data dependency, so MXU time is on the critical path.  Pass
+  ``dft_precision='highest'`` to pin full f32 exactness.
+
+The jnp oracle chain (``ops.stft.stft_mag`` -> ``ops.hpss.hpss`` ->
+mel matmul) is the correctness reference; non-TPU backends fall back
+to it (Pallas interpret mode is exercised separately in tests).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import reference as ref
+from .hpss_pallas import _apply_median_network, median_network
+
+_F32_TINY = float(np.finfo(np.float32).tiny)
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# Host-side constants
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=16)
+def _dft_block_basis(n_fft: int, win_length: int, hop: int, hp: int):
+    """Windowed rDFT basis in superblock layout, with the percussive
+    median's symmetric frequency padding baked in as duplicated columns.
+
+    Returns ``(J*hop, 2*Fpad)`` float32: row ``j*hop + s`` is audio
+    sample ``j*hop + s`` of the frame (zero beyond ``n_fft``); columns
+    ``[0, Fpad)`` are the real (cos) part and ``[Fpad, 2*Fpad)`` the
+    imaginary (−sin) part, where column ``q`` maps to true frequency
+    ``fmap[q]`` under numpy's ``mode='symmetric'`` edge rule.
+    """
+    F = 1 + n_fft // 2
+    J = -(-n_fft // hop)
+    fmap = (list(range(hp - 1, -1, -1)) + list(range(F))
+            + list(range(F - 1, F - hp - 1, -1)))
+    window = ref.pad_center(ref.hann_window(win_length), n_fft)
+    n = np.arange(J * hop)
+    ang = 2.0 * np.pi * np.asarray(fmap)[None, :] * n[:, None] / n_fft
+    w = np.where(n < n_fft, window[np.minimum(n, n_fft - 1)], 0.0)[:, None]
+    real = np.cos(ang) * w
+    imag = -np.sin(ang) * w
+    return np.concatenate([real, imag], axis=1).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+def _frontend_kernel(a_ref, d_ref, m_ref, h_ref, p_ref, mag_ref, *, n_fr,
+                     tile_t, F, Fpad, hop, J, l_harm, l_perc, power,
+                     edge_fixes, dft_precision):
+    """One audio tile -> (mel(H), mel(P)) feature tiles, all in VMEM."""
+    ht = l_harm // 2
+    hp = l_perc // 2
+    a = a_ref[0, 0]                                   # (n_sb, hop)
+    d = d_ref[...]                                    # (J*hop, 2*Fpad)
+
+    if dft_precision == "bf16x3":
+        # Manual bf16x3: split both operands into hi+lo bf16 parts and
+        # drop the lo*lo term — ~f32 accuracy in 3 one-pass MXU matmuls
+        # per block vs HIGHEST's 6 (Mosaic lacks Precision.HIGH).
+        a_hi = a.astype(jnp.bfloat16)
+        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        d_hi = d.astype(jnp.bfloat16)
+        d_lo = (d - d_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        mm = functools.partial(jax.lax.dot,
+                               preferred_element_type=jnp.float32)
+        acc = None
+        for j in range(J):
+            sl = slice(j * hop, (j + 1) * hop)
+            prod = (mm(a_hi[j:j + n_fr], d_hi[sl])
+                    + mm(a_hi[j:j + n_fr], d_lo[sl])
+                    + mm(a_lo[j:j + n_fr], d_hi[sl]))
+            acc = prod if acc is None else acc + prod  # (n_fr, 2*Fpad)
+    else:
+        acc = None
+        for j in range(J):
+            prod = jax.lax.dot(a[j:j + n_fr, :], d[j * hop:(j + 1) * hop, :],
+                               precision=_HIGHEST,
+                               preferred_element_type=jnp.float32)
+            acc = prod if acc is None else acc + prod  # (n_fr, 2*Fpad)
+    re = acc[:, :Fpad]
+    im = acc[:, Fpad:]
+    mag_ref[...] = jnp.sqrt(re * re + im * im)        # (n_fr, Fpad)
+
+    # Global-edge symmetric padding: padded frame -1-i mirrors frame i
+    # (row ht-1-i := row ht+i, tile 0 only), and frame T+m mirrors frame
+    # T-1-m.  The right halo can cross T-1 in the last TWO tiles (the
+    # final tile may be thinner than ht), so ``edge_fixes`` carries
+    # (tile_index, row_of_frame_T-1, rows_to_fix) for each.  All indices
+    # are static; source and destination rows are disjoint.
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        for i in range(ht):
+            mag_ref[ht - 1 - i, :] = mag_ref[ht + i, :]
+
+    for tile_i, r, n_fix in edge_fixes:
+        @pl.when(t == tile_i)
+        def _(r=r, n_fix=n_fix):
+            for m in range(n_fix):
+                mag_ref[r + 1 + m, :] = mag_ref[r - m, :]
+
+    mag = mag_ref[...]
+    harm = _apply_median_network(
+        [mag[k:k + tile_t, hp:hp + F] for k in range(l_harm)], l_harm)
+    perc = _apply_median_network(
+        [mag[ht:ht + tile_t, k:k + F] for k in range(l_perc)], l_perc)
+
+    z = jnp.maximum(harm, perc)
+    bad = z < _F32_TINY
+    zn = jnp.where(bad, 1.0, z)
+    hn = (harm / zn) ** power
+    pn = (perc / zn) ** power
+    denom = jnp.where(bad, 1.0, hn + pn)
+    mask_h = jnp.where(bad, 0.0, hn / denom)
+    mask_p = jnp.where(bad, 0.0, pn / denom)
+    s_center = mag[ht:ht + tile_t, hp:hp + F]         # (tile_t, F)
+
+    m = m_ref[...]                                    # (F, n_mels)
+    h_ref[0, 0] = jax.lax.dot(s_center * mask_h, m, precision=_HIGHEST,
+                              preferred_element_type=jnp.float32)
+    p_ref[0, 0] = jax.lax.dot(s_center * mask_p, m, precision=_HIGHEST,
+                              preferred_element_type=jnp.float32)
+
+
+def _audio_tiles(y: jax.Array, *, T: int, tile_t: int, hop: int, J: int,
+                 ht: int):
+    """(B, N) audio -> overlapped superblock tiles (B, nT, n_sb, hop).
+
+    Tile ``i`` holds the audio for padded frames
+    ``[i*tile_t, i*tile_t + tile_t + 2*ht)`` (frame index shifted by the
+    ``ht``-frame left halo).  Zero padding at the global edges is fixed
+    up by the oracle splice in :func:`stft_hpss_mel`.
+    """
+    B, N = y.shape
+    nT = -(-T // tile_t)
+    NSB = nT * tile_t + 2 * ht + J - 1
+    n_sb = tile_t + 2 * ht + J - 1
+    pad_l = ht * hop
+    pad_r = NSB * hop - pad_l - N
+    yp = jnp.pad(y.astype(jnp.float32), ((0, 0), (pad_l, pad_r)))
+    x = yp.reshape(B, NSB, hop)
+    tiles = jnp.stack([x[:, i * tile_t:i * tile_t + n_sb]
+                       for i in range(nT)], axis=1)   # (B, nT, n_sb, hop)
+    return tiles, nT, n_sb
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_fft", "win_length", "hop_length", "l_harm",
+                     "l_perc", "power", "tile_t", "dft_precision",
+                     "interpret"))
+def _frontend_pallas(y: jax.Array, M: jax.Array, *, n_fft, win_length,
+                     hop_length, l_harm, l_perc, power, tile_t,
+                     dft_precision="bf16x3", interpret=False):
+    B, N = y.shape
+    F = 1 + n_fft // 2
+    n_mels = M.shape[1]
+    ht, hp = l_harm // 2, l_perc // 2
+    Fpad = F + 2 * hp
+    J = -(-n_fft // hop_length)
+    T = 1 + (N - n_fft) // hop_length
+    n_fr = tile_t + 2 * ht
+
+    tiles, nT, n_sb = _audio_tiles(y, T=T, tile_t=tile_t, hop=hop_length,
+                                   J=J, ht=ht)
+    basis = jnp.asarray(_dft_block_basis(n_fft, win_length, hop_length, hp))
+    edge_fixes = []
+    for tile_i in {max(0, nT - 2), nT - 1}:
+        r = (T - 1) - tile_i * tile_t + ht      # row of frame T-1 in tile_i
+        n_fix = min(ht, n_fr - 1 - r)
+        if 0 <= r and n_fix > 0:
+            edge_fixes.append((tile_i, r, n_fix))
+
+    kernel = functools.partial(
+        _frontend_kernel, n_fr=n_fr, tile_t=tile_t, F=F, Fpad=Fpad,
+        hop=hop_length, J=J, l_harm=l_harm, l_perc=l_perc, power=power,
+        edge_fixes=tuple(edge_fixes),
+        dft_precision=dft_precision)
+
+    out_shape = jax.ShapeDtypeStruct((B, nT, tile_t, n_mels), jnp.float32)
+    grid = (B, nT)
+    in_specs = [
+        pl.BlockSpec((1, 1, n_sb, hop_length), lambda b, t: (b, t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((J * hop_length, 2 * Fpad), lambda b, t: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((F, n_mels), lambda b, t: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((1, 1, tile_t, n_mels),
+                            lambda b, t: (b, t, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    comparators = len(median_network(l_harm)) + len(median_network(l_perc))
+    flops_tile = (J * n_fr * hop_length * 2 * Fpad * 2
+                  + (comparators * 2 + 12) * tile_t * F
+                  + 2 * tile_t * F * n_mels * 2)
+    H, P = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(out_shape, out_shape),
+        in_specs=in_specs,
+        out_specs=(out_spec, out_spec),
+        scratch_shapes=[pltpu.VMEM((n_fr, Fpad), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=flops_tile * B * nT,
+            bytes_accessed=(n_sb * hop_length + 2 * tile_t * n_mels) * 4
+            * B * nT,
+            transcendentals=0),
+        interpret=interpret,
+    )(tiles, basis, M.astype(jnp.float32))
+
+    def _untile(X):                                   # (B, nT, tile_t, m)
+        X = X.reshape(B, nT * tile_t, n_mels)[:, :T]
+        return jnp.swapaxes(X, -1, -2)                # (B, n_mels, T)
+
+    return _untile(H), _untile(P)
+
+
+# ---------------------------------------------------------------------------
+# Oracle path + edge splice
+# ---------------------------------------------------------------------------
+
+def _oracle_mel(y: jax.Array, M: jax.Array, *, n_fft, win_length,
+                hop_length, l_harm, l_perc, power):
+    """jnp reference chain: stft_mag -> hpss -> mel matmul."""
+    from . import hpss as hpss_mod
+    from . import stft as stft_mod
+    S = stft_mod.stft_mag(y, n_fft=n_fft, win_length=win_length,
+                          hop_length=hop_length)
+    H, P = hpss_mod.hpss(S, l_harm=l_harm, l_perc=l_perc, power=power)
+    proj = functools.partial(jnp.einsum, "bft,fm->bmt", precision=_HIGHEST,
+                             preferred_element_type=jnp.float32)
+    return proj(H, M), proj(P, M)
+
+
+def stft_hpss_mel(y: jax.Array, mel_basis, *, n_fft: int = 400,
+                  win_length: int = 400, hop_length: int = 160,
+                  l_harm: int = 21, l_perc: int = 11, power: float = 2.0,
+                  tile_t: int = 768, dft_precision: str = "bf16x3",
+                  interpret: bool = False) -> tuple[jax.Array, jax.Array]:
+    """Audio ``(..., n_samples)`` -> ``(mel(H), mel(P))`` of shape
+    ``(..., n_mels, T)`` in one fused Pallas pass.
+
+    ``mel_basis`` is ``(n_mels, F)`` (e.g. ``mel.mel_filterbank``); on
+    non-TPU backends falls back to the jnp oracle chain.
+    """
+    squeeze = y.ndim == 1
+    if squeeze:
+        y = y[None]
+    lead = None
+    if y.ndim != 2:
+        lead = y.shape[:-1]
+        y = y.reshape((-1, y.shape[-1]))
+    M = jnp.asarray(mel_basis, jnp.float32)
+    kw = dict(n_fft=n_fft, win_length=win_length, hop_length=hop_length,
+              l_harm=l_harm, l_perc=l_perc, power=power)
+
+    ht = l_harm // 2
+    T = 1 + (y.shape[-1] - n_fft) // hop_length
+    on_tpu = jax.default_backend() == "tpu" or interpret
+    if not on_tpu or T < 2 * ht:
+        # Short clips: the in-kernel edge mirror needs 2*ht real frames —
+        # run the oracle (or, on TPU, the spectral Pallas kernel) whole.
+        if on_tpu:
+            from . import hpss_pallas, stft as stft_mod
+            S = stft_mod.stft_mag(y, n_fft=n_fft, win_length=win_length,
+                                  hop_length=hop_length)
+            out = hpss_pallas.hpss_mel(S, M, l_harm=l_harm, l_perc=l_perc,
+                                       power=power, interpret=interpret)
+        else:
+            out = _oracle_mel(y, M.T, **kw)
+    else:
+        tt = min(tile_t, max(8, 8 * -(-T // 8)))
+        out = _frontend_pallas(y, M.T, tile_t=tt, interpret=interpret,
+                               dft_precision=dft_precision, **kw)
+
+    H, P = out
+    if lead is not None:
+        H = H.reshape(lead + H.shape[-2:])
+        P = P.reshape(lead + P.shape[-2:])
+    if squeeze:
+        H, P = H[0], P[0]
+    return H, P

@@ -1,0 +1,107 @@
+"""Fused audio -> mel-HPSS frontend kernel tests (interpret mode on CPU).
+
+Parity oracle is the jnp reference chain ``stft_mag -> hpss -> mel``
+(itself librosa-parity-tested in test_dsp_parity.py).  Full-speed parity
+on real TPU is exercised by bench.py and the verify flow.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from sm_hpss_mtl_tpu.ops import frontend_pallas as fp
+from sm_hpss_mtl_tpu.ops import hpss as hpss_mod
+from sm_hpss_mtl_tpu.ops import mel as mel_mod
+from sm_hpss_mtl_tpu.ops import stft as stft_mod
+
+
+def _oracle(y, M, *, n_fft, win, hop, l_harm, l_perc):
+    S = stft_mod.stft_mag(jnp.asarray(y), n_fft=n_fft, win_length=win,
+                          hop_length=hop)
+    H, P = hpss_mod.hpss(S, l_harm=l_harm, l_perc=l_perc)
+    proj = lambda X: np.asarray(jnp.einsum(
+        "...ft,mf->...mt", X, jnp.asarray(M),
+        precision="highest", preferred_element_type=jnp.float32))
+    return proj(H), proj(P)
+
+
+def _mel(n_mels, n_fft):
+    return mel_mod.mel_filterbank(22050, n_fft, n_mels)
+
+
+@pytest.mark.parametrize("n_samples,tile_t", [
+    (16_000, 48),    # T=98: thin 2-frame last tile (< ht) — right mirror
+                     # must fire in the second-to-last tile too
+    (8_000, 364),    # T=48: single tile wider than T
+    (7_920, 24),     # T=48: exact tile multiple (full last tile)
+    (9_520, 48),     # T=58: last tile exactly ht frames
+])
+def test_frontend_parity_small(rng, n_samples, tile_t):
+    n_fft, win, hop, l_harm, l_perc = 400, 400, 160, 21, 11
+    M = _mel(32, n_fft)
+    y = rng.standard_normal((2, n_samples)).astype(np.float32)
+    Hm, Pm = fp.stft_hpss_mel(jnp.asarray(y), M, n_fft=n_fft,
+                              win_length=win, hop_length=hop,
+                              l_harm=l_harm, l_perc=l_perc,
+                              tile_t=tile_t, interpret=True)
+    gH, gP = _oracle(y, M, n_fft=n_fft, win=win, hop=hop,
+                     l_harm=l_harm, l_perc=l_perc)
+    np.testing.assert_allclose(np.asarray(Hm), gH, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(Pm), gP, rtol=2e-4, atol=2e-5)
+
+
+def test_frontend_parity_jang_geometry(rng):
+    # n_fft=512 > win=400, hop=160: J=4 superblocks with a partial tail
+    # and a zero-padded window — the Jang-model STFT geometry.
+    n_fft, win, hop = 512, 400, 160
+    M = _mel(24, n_fft)
+    y = rng.standard_normal((1, 12_000)).astype(np.float32)
+    Hm, Pm = fp.stft_hpss_mel(jnp.asarray(y), M, n_fft=n_fft,
+                              win_length=win, hop_length=hop,
+                              l_harm=11, l_perc=5, tile_t=32,
+                              interpret=True)
+    gH, gP = _oracle(y, M, n_fft=n_fft, win=win, hop=hop,
+                     l_harm=11, l_perc=5)
+    np.testing.assert_allclose(np.asarray(Hm), gH, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(Pm), gP, rtol=2e-4, atol=2e-5)
+
+
+def test_frontend_short_clip_fallback(rng):
+    # T < 4*ht: the edge splice would cover everything -> whole-array
+    # fallback path must still be parity-exact.
+    n_fft, win, hop = 400, 400, 160
+    M = _mel(16, n_fft)
+    y = rng.standard_normal((1, n_fft + 20 * hop)).astype(np.float32)  # T=21
+    Hm, Pm = fp.stft_hpss_mel(jnp.asarray(y), M, n_fft=n_fft,
+                              win_length=win, hop_length=hop,
+                              l_harm=21, l_perc=11)
+    gH, gP = _oracle(y, M, n_fft=n_fft, win=win, hop=hop,
+                     l_harm=21, l_perc=11)
+    np.testing.assert_allclose(np.asarray(Hm), gH, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(Pm), gP, rtol=1e-5, atol=1e-6)
+
+
+def test_frontend_lead_dims_and_1d(rng):
+    M = _mel(16, 400)
+    y = rng.standard_normal((2, 2, 16_000)).astype(np.float32)
+    H4, _ = fp.stft_hpss_mel(jnp.asarray(y), M, tile_t=48, interpret=True)
+    assert H4.shape[:2] == (2, 2) and H4.shape[-2] == 16
+    H1, _ = fp.stft_hpss_mel(jnp.asarray(y[0, 0]), M, tile_t=48,
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(H1), np.asarray(H4)[0, 0],
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_featuregram_fused_path_matches_oracle(rng):
+    from sm_hpss_mtl_tpu.ops import featuregram as fg
+    y = jnp.asarray(rng.standard_normal((2, 16_000)).astype(np.float32))
+    # On the CPU test backend use_pallas=True routes stft_hpss_mel to its
+    # oracle fallback — this pins the featuregram-level wiring (shapes,
+    # mel-sr quirk, dB post-processing) to the plain path.
+    a = fg.featuregram(y, feat_name="LogMelHarmPercSpec", n_mels=40,
+                       use_pallas=True)
+    b = fg.featuregram(y, feat_name="LogMelHarmPercSpec", n_mels=40,
+                       use_pallas=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-4)
