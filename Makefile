@@ -3,10 +3,14 @@
 
 PY ?= python
 
-.PHONY: test bench demo graft-check clean-demo
+.PHONY: test test-quick bench demo graft-check clean-demo
 
 test:
 	$(PY) -m pytest tests/ -q
+
+# Fast core tier (~2 min): DSP parity, Pallas kernels, data, models.
+test-quick:
+	$(PY) -m pytest tests/ -q -m quick
 
 bench:
 	$(PY) bench.py

@@ -98,16 +98,6 @@ def _apply_median_network(values: list, n: int):
 # Kernel
 # ---------------------------------------------------------------------------
 
-#: Sliding-median algorithm used inside the kernels: 'network' (pruned
-#: Batcher selection network, the default) or 'shared' (block
-#: suffix/prefix decomposition, ops.median2 — ~2.6x fewer VPU ops on
-#: paper but only ~5% faster on v5e at tile 364 because its (F,
-#: n_blocks~19) planes underfill the 128-lane VPU, and Mosaic cannot
-#: lower the large-tile reshape that would fill them; kept as a
-#: bit-exact, tested experiment).
-MEDIAN_ALG = "network"
-
-
 def _masks_from_tile(tile, F, TILE_T, l_harm, l_perc, power):
     """Shared kernel body: medians + Wiener masks from one halo'd tile."""
     ht = l_harm // 2
@@ -115,15 +105,10 @@ def _masks_from_tile(tile, F, TILE_T, l_harm, l_perc, power):
 
     rows = tile[hp:hp + F, :]
     cols = tile[:, ht:ht + TILE_T]
-    if MEDIAN_ALG == "shared":
-        from .median2 import sliding_median_ext
-        harm = sliding_median_ext(rows, l_harm, TILE_T, axis=-1)
-        perc = sliding_median_ext(cols, l_perc, F, axis=-2)
-    else:
-        harm = _apply_median_network(
-            [rows[:, k:k + TILE_T] for k in range(l_harm)], l_harm)
-        perc = _apply_median_network(
-            [cols[k:k + F, :] for k in range(l_perc)], l_perc)
+    harm = _apply_median_network(
+        [rows[:, k:k + TILE_T] for k in range(l_harm)], l_harm)
+    perc = _apply_median_network(
+        [cols[k:k + F, :] for k in range(l_perc)], l_perc)
 
     z = jnp.maximum(harm, perc)
     bad = z < _F32_TINY

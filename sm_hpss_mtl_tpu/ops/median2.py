@@ -20,8 +20,21 @@ step is a vectorized min/max over (rows, n_blocks) planes, so it maps
 onto the VPU exactly like the network does.  All loops are static
 (unrolled over w offsets and k+2 ranks).
 
-This file is the jnp reference implementation and correctness oracle;
-``hpss_pallas`` uses the same routine inside the fused kernel.
+Status (v5e, measured): the algorithm is bit-exact and ~2.6x cheaper in
+VPU element-ops than the network, but it does NOT pay inside the Pallas
+kernels, so both kernel flags that once selected it were removed:
+
+- round-1 spectral layout (freq sublane, time lane): the (F, n_blocks)
+  planes have ~19 lanes — 15% VPU lane utilization — and Mosaic rejects
+  the (F, T) -> (F, n_blocks, w) LANE-axis reshape that would fix it;
+  measured only ~5% faster than the network at tile_t=364.
+- round-2 fused-frontend layout (time sublane, freq lane): the planes
+  become (n_blocks, F) with full 128-lane occupancy, but Mosaic fails
+  to compile the SUBLANE-axis reshape ((n_blocks*w, Fpad) ->
+  (n_blocks, w, Fpad)) at production shapes.
+
+This file stays as the tested XLA-path implementation of the algorithm
+(it jits fine outside Pallas) and the record of those experiments.
 """
 
 from __future__ import annotations

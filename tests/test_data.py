@@ -12,6 +12,8 @@ from sm_hpss_mtl_tpu.data import (BalancedBatcher, BatcherConfig,
 from sm_hpss_mtl_tpu.data.audio import load_and_preprocess_signal, read_wav
 from sm_hpss_mtl_tpu.data.prefetch import DevicePrefetcher
 
+pytestmark = pytest.mark.quick
+
 
 @pytest.fixture(scope="module")
 def toy_root(tmp_path_factory):

@@ -18,6 +18,8 @@ from sm_hpss_mtl_tpu.ops import mel as jmel
 from sm_hpss_mtl_tpu.ops import reference as ref
 from sm_hpss_mtl_tpu.ops import stft as jstft
 
+pytestmark = pytest.mark.quick
+
 FS = 16000
 N_FFT, WIN, HOP = 400, 400, 160
 

@@ -15,6 +15,8 @@ from sm_hpss_mtl_tpu.ops import hpss as hpss_mod
 from sm_hpss_mtl_tpu.ops import mel as mel_mod
 from sm_hpss_mtl_tpu.ops import stft as stft_mod
 
+pytestmark = pytest.mark.quick
+
 
 def _oracle(y, M, *, n_fft, win, hop, l_harm, l_perc):
     S = stft_mod.stft_mag(jnp.asarray(y), n_fft=n_fft, win_length=win,

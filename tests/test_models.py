@@ -13,6 +13,8 @@ from sm_hpss_mtl_tpu.models.tcn import channel_normalization
 from sm_hpss_mtl_tpu.ops import reference as ref
 from sm_hpss_mtl_tpu.train import TrainState, for_model, make_eval_step, make_train_step
 
+pytestmark = pytest.mark.quick
+
 RNG = jax.random.PRNGKey(0)
 
 

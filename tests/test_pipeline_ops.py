@@ -14,6 +14,8 @@ import jax.numpy as jnp
 from sm_hpss_mtl_tpu.ops import mixing, patches, silence, stats
 from sm_hpss_mtl_tpu.ops import reference as ref
 
+pytestmark = pytest.mark.quick
+
 
 # ---------------------------------------------------------------------------
 # Patch extraction
