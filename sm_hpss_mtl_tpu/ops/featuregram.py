@@ -113,10 +113,12 @@ def featuregram(y: jax.Array, *, feat_name: str, sr: int = 16000,
             hop_length=hop_length, l_harm=l_harm, l_perc=l_perc)
         already_mel = True
     elif use_pallas:
-        from . import hpss_pallas
-        S = stft_mod.stft_mag(y, n_fft=n_fft, win_length=win_length,
-                              hop_length=hop_length)
-        H, P = hpss_pallas.hpss(S, l_harm=l_harm, l_perc=l_perc)
+        # Full-resolution fused frontend (HarmSpec/PercSpec families —
+        # the Papakostas-MTL and Jang-MTL presets).
+        from . import frontend_pallas
+        H, P = frontend_pallas.stft_hpss(
+            y, n_fft=n_fft, win_length=win_length, hop_length=hop_length,
+            l_harm=l_harm, l_perc=l_perc)
         already_mel = False
     else:
         S = stft_mod.stft_mag(y, n_fft=n_fft, win_length=win_length,

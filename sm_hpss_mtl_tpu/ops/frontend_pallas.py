@@ -100,10 +100,9 @@ def _dft_block_basis(n_fft: int, win_length: int, hop: int, hp: int):
 # Kernel
 # ---------------------------------------------------------------------------
 
-def _frontend_kernel(a_ref, d_ref, m_ref, h_ref, p_ref, mag_ref, *, n_fr,
-                     tile_t, F, Fpad, hop, J, l_harm, l_perc, power,
-                     edge_fixes, dft_precision):
-    """One audio tile -> (mel(H), mel(P)) feature tiles, all in VMEM."""
+def _tile_masks(a_ref, d_ref, mag_ref, *, n_fr, tile_t, F, Fpad, hop, J,
+                l_harm, l_perc, power, edge_fixes, dft_precision):
+    """Shared kernel body: audio tile -> (mask_h, mask_p, s_center)."""
     ht = l_harm // 2
     hp = l_perc // 2
     a = a_ref[0, 0]                                   # (n_sb, hop)
@@ -171,12 +170,25 @@ def _frontend_kernel(a_ref, d_ref, m_ref, h_ref, p_ref, mag_ref, *, n_fr,
     mask_h = jnp.where(bad, 0.0, hn / denom)
     mask_p = jnp.where(bad, 0.0, pn / denom)
     s_center = mag[ht:ht + tile_t, hp:hp + F]         # (tile_t, F)
+    return mask_h, mask_p, s_center
 
+
+def _frontend_kernel(a_ref, d_ref, m_ref, h_ref, p_ref, mag_ref, **kw):
+    """Mel variant: write ``(tile_t, n_mels)`` mel-projected H/P tiles."""
+    mask_h, mask_p, s_center = _tile_masks(a_ref, d_ref, mag_ref, **kw)
     m = m_ref[...]                                    # (F, n_mels)
     h_ref[0, 0] = jax.lax.dot(s_center * mask_h, m, precision=_HIGHEST,
                               preferred_element_type=jnp.float32)
     p_ref[0, 0] = jax.lax.dot(s_center * mask_p, m, precision=_HIGHEST,
                               preferred_element_type=jnp.float32)
+
+
+def _frontend_kernel_mag(a_ref, d_ref, h_ref, p_ref, mag_ref, **kw):
+    """Full-resolution variant: write ``(tile_t, F)`` masked-magnitude
+    H/P tiles (the reference's HarmSpec/PercSpec featName family)."""
+    mask_h, mask_p, s_center = _tile_masks(a_ref, d_ref, mag_ref, **kw)
+    h_ref[0, 0] = s_center * mask_h
+    p_ref[0, 0] = s_center * mask_p
 
 
 def _audio_tiles(y: jax.Array, *, T: int, tile_t: int, hop: int, J: int,
@@ -206,12 +218,15 @@ def _audio_tiles(y: jax.Array, *, T: int, tile_t: int, hop: int, J: int,
     static_argnames=("n_fft", "win_length", "hop_length", "l_harm",
                      "l_perc", "power", "tile_t", "dft_precision",
                      "interpret"))
-def _frontend_pallas(y: jax.Array, M: jax.Array, *, n_fft, win_length,
+def _frontend_pallas(y: jax.Array, M, *, n_fft, win_length,
                      hop_length, l_harm, l_perc, power, tile_t,
                      dft_precision="bf16x3", interpret=False):
+    """Run the fused kernel.  ``M`` is the ``(F, n_mels)`` mel basis for
+    the mel variant, or None for full-resolution masked magnitudes."""
     B, N = y.shape
     F = 1 + n_fft // 2
-    n_mels = M.shape[1]
+    emit_mel = M is not None
+    n_out = M.shape[1] if emit_mel else F
     ht, hp = l_harm // 2, l_perc // 2
     Fpad = F + 2 * hp
     J = -(-n_fft // hop_length)
@@ -228,30 +243,34 @@ def _frontend_pallas(y: jax.Array, M: jax.Array, *, n_fft, win_length,
         if 0 <= r and n_fix > 0:
             edge_fixes.append((tile_i, r, n_fix))
 
-    kernel = functools.partial(
-        _frontend_kernel, n_fr=n_fr, tile_t=tile_t, F=F, Fpad=Fpad,
-        hop=hop_length, J=J, l_harm=l_harm, l_perc=l_perc, power=power,
-        edge_fixes=tuple(edge_fixes),
-        dft_precision=dft_precision)
+    kw = dict(n_fr=n_fr, tile_t=tile_t, F=F, Fpad=Fpad, hop=hop_length,
+              J=J, l_harm=l_harm, l_perc=l_perc, power=power,
+              edge_fixes=tuple(edge_fixes), dft_precision=dft_precision)
 
-    out_shape = jax.ShapeDtypeStruct((B, nT, tile_t, n_mels), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct((B, nT, tile_t, n_out), jnp.float32)
     grid = (B, nT)
     in_specs = [
         pl.BlockSpec((1, 1, n_sb, hop_length), lambda b, t: (b, t, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((J * hop_length, 2 * Fpad), lambda b, t: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((F, n_mels), lambda b, t: (0, 0),
-                     memory_space=pltpu.VMEM),
     ]
-    out_spec = pl.BlockSpec((1, 1, tile_t, n_mels),
+    inputs = [tiles, basis]
+    if emit_mel:
+        in_specs.append(pl.BlockSpec((F, n_out), lambda b, t: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(M.astype(jnp.float32))
+        kernel = functools.partial(_frontend_kernel, **kw)
+    else:
+        kernel = functools.partial(_frontend_kernel_mag, **kw)
+    out_spec = pl.BlockSpec((1, 1, tile_t, n_out),
                             lambda b, t: (b, t, 0, 0),
                             memory_space=pltpu.VMEM)
 
     comparators = len(median_network(l_harm)) + len(median_network(l_perc))
     flops_tile = (J * n_fr * hop_length * 2 * Fpad * 2
                   + (comparators * 2 + 12) * tile_t * F
-                  + 2 * tile_t * F * n_mels * 2)
+                  + (2 * tile_t * F * n_out * 2 if emit_mel else 0))
     H, P = pl.pallas_call(
         kernel,
         grid=grid,
@@ -261,15 +280,15 @@ def _frontend_pallas(y: jax.Array, M: jax.Array, *, n_fft, win_length,
         scratch_shapes=[pltpu.VMEM((n_fr, Fpad), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=flops_tile * B * nT,
-            bytes_accessed=(n_sb * hop_length + 2 * tile_t * n_mels) * 4
+            bytes_accessed=(n_sb * hop_length + 2 * tile_t * n_out) * 4
             * B * nT,
             transcendentals=0),
         interpret=interpret,
-    )(tiles, basis, M.astype(jnp.float32))
+    )(*inputs)
 
     def _untile(X):                                   # (B, nT, tile_t, m)
-        X = X.reshape(B, nT * tile_t, n_mels)[:, :T]
-        return jnp.swapaxes(X, -1, -2)                # (B, n_mels, T)
+        X = X.reshape(B, nT * tile_t, n_out)[:, :T]
+        return jnp.swapaxes(X, -1, -2)                # (B, n_out, T)
 
     return _untile(H), _untile(P)
 
@@ -278,30 +297,26 @@ def _frontend_pallas(y: jax.Array, M: jax.Array, *, n_fft, win_length,
 # Oracle path + edge splice
 # ---------------------------------------------------------------------------
 
-def _oracle_mel(y: jax.Array, M: jax.Array, *, n_fft, win_length,
-                hop_length, l_harm, l_perc, power):
-    """jnp reference chain: stft_mag -> hpss -> mel matmul."""
+def _oracle(y: jax.Array, M, *, n_fft, win_length,
+            hop_length, l_harm, l_perc, power):
+    """jnp reference chain: stft_mag -> hpss (-> mel matmul if ``M``,
+    the ``(n_mels, F)`` basis, is given)."""
     from . import hpss as hpss_mod
     from . import stft as stft_mod
     S = stft_mod.stft_mag(y, n_fft=n_fft, win_length=win_length,
                           hop_length=hop_length)
     H, P = hpss_mod.hpss(S, l_harm=l_harm, l_perc=l_perc, power=power)
-    proj = functools.partial(jnp.einsum, "bft,fm->bmt", precision=_HIGHEST,
+    if M is None:
+        return H, P
+    proj = functools.partial(jnp.einsum, "mf,bft->bmt", precision=_HIGHEST,
                              preferred_element_type=jnp.float32)
-    return proj(H, M), proj(P, M)
+    return proj(M, H), proj(M, P)
 
 
-def stft_hpss_mel(y: jax.Array, mel_basis, *, n_fft: int = 400,
-                  win_length: int = 400, hop_length: int = 160,
-                  l_harm: int = 21, l_perc: int = 11, power: float = 2.0,
-                  tile_t: int = 768, dft_precision: str = "bf16x3",
-                  interpret: bool = False) -> tuple[jax.Array, jax.Array]:
-    """Audio ``(..., n_samples)`` -> ``(mel(H), mel(P))`` of shape
-    ``(..., n_mels, T)`` in one fused Pallas pass.
-
-    ``mel_basis`` is ``(n_mels, F)`` (e.g. ``mel.mel_filterbank``); on
-    non-TPU backends falls back to the jnp oracle chain.
-    """
+def _dispatch(y, M, *, n_fft, win_length, hop_length, l_harm, l_perc,
+              power, tile_t, dft_precision, interpret):
+    """Shared lead-dim handling + short-clip fallback.  ``M`` is the
+    ``(n_mels, F)`` mel basis or None for full-resolution output."""
     squeeze = y.ndim == 1
     if squeeze:
         y = y[None]
@@ -309,7 +324,6 @@ def stft_hpss_mel(y: jax.Array, mel_basis, *, n_fft: int = 400,
     if y.ndim != 2:
         lead = y.shape[:-1]
         y = y.reshape((-1, y.shape[-1]))
-    M = jnp.asarray(mel_basis, jnp.float32)
     kw = dict(n_fft=n_fft, win_length=win_length, hop_length=hop_length,
               l_harm=l_harm, l_perc=l_perc, power=power)
 
@@ -323,13 +337,24 @@ def stft_hpss_mel(y: jax.Array, mel_basis, *, n_fft: int = 400,
             from . import hpss_pallas, stft as stft_mod
             S = stft_mod.stft_mag(y, n_fft=n_fft, win_length=win_length,
                                   hop_length=hop_length)
-            out = hpss_pallas.hpss_mel(S, M, l_harm=l_harm, l_perc=l_perc,
+            if M is not None:
+                out = hpss_pallas.hpss_mel(S, M, l_harm=l_harm,
+                                           l_perc=l_perc, power=power,
+                                           interpret=interpret)
+            else:
+                out = hpss_pallas.hpss(S, l_harm=l_harm, l_perc=l_perc,
                                        power=power, interpret=interpret)
         else:
-            out = _oracle_mel(y, M.T, **kw)
+            out = _oracle(y, M, **kw)
     else:
+        if M is None:
+            # Full-resolution (tile_t, F) output tiles cost ~6 MB more
+            # VMEM than mel tiles; tile 768 OOMs the 16 MB scoped limit
+            # at F=257 (measured) — cap at 512.
+            tile_t = min(tile_t, 512)
         tt = min(tile_t, max(8, 8 * -(-T // 8)))
-        out = _frontend_pallas(y, M.T, tile_t=tt, interpret=interpret,
+        out = _frontend_pallas(y, None if M is None else M.T, tile_t=tt,
+                               interpret=interpret,
                                dft_precision=dft_precision, **kw)
 
     H, P = out
@@ -339,3 +364,37 @@ def stft_hpss_mel(y: jax.Array, mel_basis, *, n_fft: int = 400,
     if squeeze:
         H, P = H[0], P[0]
     return H, P
+
+
+def stft_hpss_mel(y: jax.Array, mel_basis, *, n_fft: int = 400,
+                  win_length: int = 400, hop_length: int = 160,
+                  l_harm: int = 21, l_perc: int = 11, power: float = 2.0,
+                  tile_t: int = 768, dft_precision: str = "bf16x3",
+                  interpret: bool = False) -> tuple[jax.Array, jax.Array]:
+    """Audio ``(..., n_samples)`` -> ``(mel(H), mel(P))`` of shape
+    ``(..., n_mels, T)`` in one fused Pallas pass.
+
+    ``mel_basis`` is ``(n_mels, F)`` (e.g. ``mel.mel_filterbank``); on
+    non-TPU backends falls back to the jnp oracle chain.
+    """
+    M = jnp.asarray(mel_basis, jnp.float32)
+    return _dispatch(y, M, n_fft=n_fft, win_length=win_length,
+                     hop_length=hop_length, l_harm=l_harm, l_perc=l_perc,
+                     power=power, tile_t=tile_t,
+                     dft_precision=dft_precision, interpret=interpret)
+
+
+def stft_hpss(y: jax.Array, *, n_fft: int = 400, win_length: int = 400,
+              hop_length: int = 160, l_harm: int = 21, l_perc: int = 11,
+              power: float = 2.0, tile_t: int = 768,
+              dft_precision: str = "bf16x3",
+              interpret: bool = False) -> tuple[jax.Array, jax.Array]:
+    """Audio ``(..., n_samples)`` -> full-resolution ``(H, P)`` masked
+    magnitudes of shape ``(..., F, T)`` in one fused Pallas pass — the
+    reference's HarmSpec/PercSpec featName family
+    (``lib/preprocessing.py:404-416``) without the spectrogram ever
+    leaving VMEM."""
+    return _dispatch(y, None, n_fft=n_fft, win_length=win_length,
+                     hop_length=hop_length, l_harm=l_harm, l_perc=l_perc,
+                     power=power, tile_t=tile_t,
+                     dft_precision=dft_precision, interpret=interpret)

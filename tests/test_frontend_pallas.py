@@ -107,3 +107,28 @@ def test_featuregram_fused_path_matches_oracle(rng):
                        use_pallas=False)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("n_fft,n_samples,tile_t", [
+    (400, 16_000, 48),   # thin last tile
+    (512, 12_000, 32),   # Jang geometry, J=4
+])
+def test_frontend_fullres_parity(rng, n_fft, n_samples, tile_t):
+    # stft_hpss: full-resolution masked magnitudes (no mel), the
+    # Papakostas/Jang-MTL featName family.
+    win, hop, l_harm, l_perc = 400, 160, 21, 11
+    y = rng.standard_normal((2, n_samples)).astype(np.float32)
+    # dft_precision='highest' isolates the kernel structure from bf16x3
+    # rounding (~1e-3 strict-rel on raw magnitudes; the bf16x3 accuracy
+    # budget is pinned on-chip in PARITY_TPU_r2.json frontend_cases).
+    Hm, Pm = fp.stft_hpss(jnp.asarray(y), n_fft=n_fft, win_length=win,
+                          hop_length=hop, l_harm=l_harm, l_perc=l_perc,
+                          tile_t=tile_t, dft_precision="highest",
+                          interpret=True)
+    S = stft_mod.stft_mag(jnp.asarray(y), n_fft=n_fft, win_length=win,
+                          hop_length=hop)
+    gH, gP = hpss_mod.hpss(S, l_harm=l_harm, l_perc=l_perc)
+    np.testing.assert_allclose(np.asarray(Hm), np.asarray(gH),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(Pm), np.asarray(gP),
+                               rtol=2e-4, atol=2e-5)
