@@ -100,9 +100,14 @@ def _dft_block_basis(n_fft: int, win_length: int, hop: int, hp: int):
 # Kernel
 # ---------------------------------------------------------------------------
 
-def _tile_masks(a_ref, d_ref, mag_ref, *, n_fr, tile_t, F, Fpad, hop, J,
-                l_harm, l_perc, power, edge_fixes, dft_precision):
-    """Shared kernel body: audio tile -> (mask_h, mask_p, s_center)."""
+def _tile_masks(a_ref, d_ref, e_ref, mag_ref, *, n_fr, tile_t, F, Fpad,
+                hop, J, l_harm, l_perc, power, edge_fixes, dft_precision):
+    """Shared kernel body: audio tile -> (mask_h, mask_p, s_center).
+
+    ``e_ref`` is a (1, 2) int32 SMEM scalar: [mirror_left, mirror_right].
+    Both are 1 for a whole signal; the time-sharded caller
+    (``parallel.frontend_shard``) zeroes the flag on shards whose halo
+    audio came from a ring neighbor instead of a global edge."""
     ht = l_harm // 2
     hp = l_perc // 2
     a = a_ref[0, 0]                                   # (n_sb, hop)
@@ -144,13 +149,13 @@ def _tile_masks(a_ref, d_ref, mag_ref, *, n_fr, tile_t, F, Fpad, hop, J,
     # are static; source and destination rows are disjoint.
     t = pl.program_id(1)
 
-    @pl.when(t == 0)
+    @pl.when((t == 0) & (e_ref[0, 0] == 1))
     def _():
         for i in range(ht):
             mag_ref[ht - 1 - i, :] = mag_ref[ht + i, :]
 
     for tile_i, r, n_fix in edge_fixes:
-        @pl.when(t == tile_i)
+        @pl.when((t == tile_i) & (e_ref[0, 1] == 1))
         def _(r=r, n_fix=n_fix):
             for m in range(n_fix):
                 mag_ref[r + 1 + m, :] = mag_ref[r - m, :]
@@ -173,9 +178,11 @@ def _tile_masks(a_ref, d_ref, mag_ref, *, n_fr, tile_t, F, Fpad, hop, J,
     return mask_h, mask_p, s_center
 
 
-def _frontend_kernel(a_ref, d_ref, m_ref, h_ref, p_ref, mag_ref, **kw):
+def _frontend_kernel(a_ref, d_ref, e_ref, m_ref, h_ref, p_ref, mag_ref,
+                     **kw):
     """Mel variant: write ``(tile_t, n_mels)`` mel-projected H/P tiles."""
-    mask_h, mask_p, s_center = _tile_masks(a_ref, d_ref, mag_ref, **kw)
+    mask_h, mask_p, s_center = _tile_masks(a_ref, d_ref, e_ref, mag_ref,
+                                           **kw)
     m = m_ref[...]                                    # (F, n_mels)
     h_ref[0, 0] = jax.lax.dot(s_center * mask_h, m, precision=_HIGHEST,
                               preferred_element_type=jnp.float32)
@@ -183,28 +190,31 @@ def _frontend_kernel(a_ref, d_ref, m_ref, h_ref, p_ref, mag_ref, **kw):
                               preferred_element_type=jnp.float32)
 
 
-def _frontend_kernel_mag(a_ref, d_ref, h_ref, p_ref, mag_ref, **kw):
+def _frontend_kernel_mag(a_ref, d_ref, e_ref, h_ref, p_ref, mag_ref,
+                         **kw):
     """Full-resolution variant: write ``(tile_t, F)`` masked-magnitude
     H/P tiles (the reference's HarmSpec/PercSpec featName family)."""
-    mask_h, mask_p, s_center = _tile_masks(a_ref, d_ref, mag_ref, **kw)
+    mask_h, mask_p, s_center = _tile_masks(a_ref, d_ref, e_ref, mag_ref,
+                                           **kw)
     h_ref[0, 0] = s_center * mask_h
     p_ref[0, 0] = s_center * mask_p
 
 
 def _audio_tiles(y: jax.Array, *, T: int, tile_t: int, hop: int, J: int,
-                 ht: int):
+                 ht: int, halo_in_audio: bool = False):
     """(B, N) audio -> overlapped superblock tiles (B, nT, n_sb, hop).
 
     Tile ``i`` holds the audio for padded frames
     ``[i*tile_t, i*tile_t + tile_t + 2*ht)`` (frame index shifted by the
-    ``ht``-frame left halo).  Zero padding at the global edges is fixed
-    up by the oracle splice in :func:`stft_hpss_mel`.
+    ``ht``-frame left halo).  With ``halo_in_audio`` the caller already
+    prepended ``ht*hop`` halo samples (time-sharded path); otherwise the
+    halo is zero and the kernel's edge mirror repairs the boundary.
     """
     B, N = y.shape
     nT = -(-T // tile_t)
     NSB = nT * tile_t + 2 * ht + J - 1
     n_sb = tile_t + 2 * ht + J - 1
-    pad_l = ht * hop
+    pad_l = 0 if halo_in_audio else ht * hop
     pad_r = NSB * hop - pad_l - N
     yp = jnp.pad(y.astype(jnp.float32), ((0, 0), (pad_l, pad_r)))
     x = yp.reshape(B, NSB, hop)
@@ -217,12 +227,18 @@ def _audio_tiles(y: jax.Array, *, T: int, tile_t: int, hop: int, J: int,
     jax.jit,
     static_argnames=("n_fft", "win_length", "hop_length", "l_harm",
                      "l_perc", "power", "tile_t", "dft_precision",
-                     "interpret"))
+                     "halo_in_audio", "interpret"))
 def _frontend_pallas(y: jax.Array, M, *, n_fft, win_length,
                      hop_length, l_harm, l_perc, power, tile_t,
-                     dft_precision="bf16x3", interpret=False):
+                     dft_precision="bf16x3", halo_in_audio=False,
+                     edge_flags=None, interpret=False):
     """Run the fused kernel.  ``M`` is the ``(F, n_mels)`` mel basis for
-    the mel variant, or None for full-resolution masked magnitudes."""
+    the mel variant, or None for full-resolution masked magnitudes.
+
+    ``halo_in_audio``: the input already carries ``ht*hop`` halo samples
+    on each side (time-sharded path); ``edge_flags`` is a traced (1, 2)
+    int32 [mirror_left, mirror_right] — defaults to mirroring both
+    global edges."""
     B, N = y.shape
     F = 1 + n_fft // 2
     emit_mel = M is not None
@@ -230,11 +246,13 @@ def _frontend_pallas(y: jax.Array, M, *, n_fft, win_length,
     ht, hp = l_harm // 2, l_perc // 2
     Fpad = F + 2 * hp
     J = -(-n_fft // hop_length)
-    T = 1 + (N - n_fft) // hop_length
+    T = 1 + (N - n_fft) // hop_length - (2 * ht if halo_in_audio else 0)
     n_fr = tile_t + 2 * ht
 
     tiles, nT, n_sb = _audio_tiles(y, T=T, tile_t=tile_t, hop=hop_length,
-                                   J=J, ht=ht)
+                                   J=J, ht=ht, halo_in_audio=halo_in_audio)
+    if edge_flags is None:
+        edge_flags = jnp.ones((1, 2), jnp.int32)
     basis = jnp.asarray(_dft_block_basis(n_fft, win_length, hop_length, hp))
     edge_fixes = []
     for tile_i in {max(0, nT - 2), nT - 1}:
@@ -254,8 +272,10 @@ def _frontend_pallas(y: jax.Array, M, *, n_fft, win_length,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((J * hop_length, 2 * Fpad), lambda b, t: (0, 0),
                      memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2), lambda b, t: (0, 0),
+                     memory_space=pltpu.SMEM),
     ]
-    inputs = [tiles, basis]
+    inputs = [tiles, basis, jnp.asarray(edge_flags, jnp.int32)]
     if emit_mel:
         in_specs.append(pl.BlockSpec((F, n_out), lambda b, t: (0, 0),
                                      memory_space=pltpu.VMEM))

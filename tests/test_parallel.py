@@ -96,3 +96,37 @@ def test_dp_train_step_matches_single_device():
     for a, b in zip(l1, l8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_frontend_time_sharded_matches_unsharded(rng):
+    # Fused audio->mel frontend sharded over 'time' with audio halo
+    # ppermute: equal to the single-call kernel to f32 rounding,
+    # including the mirror-flag gating at the global-edge shards.
+    from jax.sharding import Mesh
+    from sm_hpss_mtl_tpu.ops import frontend_pallas as fp
+    from sm_hpss_mtl_tpu.ops import mel as mel_mod
+    from sm_hpss_mtl_tpu.parallel import stft_hpss_mel_time_sharded
+
+    M = mel_mod.mel_filterbank(22050, 400, 24)
+    T = 192                                # 8 shards x 24 frames
+    y = rng.standard_normal((2, 400 + (T - 1) * 160)).astype(np.float32)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("time",))
+    Hs, Ps = stft_hpss_mel_time_sharded(jnp.asarray(y), M, mesh, tile_t=16)
+    Hu, Pu = fp.stft_hpss_mel(jnp.asarray(y), M, tile_t=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(Hs), np.asarray(Hu), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(Ps), np.asarray(Pu), atol=1e-6)
+
+
+def test_frontend_time_sharded_validations(rng):
+    from jax.sharding import Mesh
+    from sm_hpss_mtl_tpu.ops import mel as mel_mod
+    from sm_hpss_mtl_tpu.parallel import stft_hpss_mel_time_sharded
+
+    M = mel_mod.mel_filterbank(22050, 400, 8)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("time",))
+    y = jnp.zeros((1, 400 + 97 * 160))     # T=98, not divisible by 8
+    with pytest.raises(ValueError, match="not divisible"):
+        stft_hpss_mel_time_sharded(y, M, mesh)
+    y = jnp.zeros((1, 400 + 95 * 160))     # T=96 -> T_local=12 < 2*ht
+    with pytest.raises(ValueError, match="smaller than"):
+        stft_hpss_mel_time_sharded(y, M, mesh)
