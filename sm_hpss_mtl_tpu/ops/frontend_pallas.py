@@ -333,6 +333,14 @@ def _oracle(y: jax.Array, M, *, n_fft, win_length,
     return proj(M, H), proj(M, P)
 
 
+def _pick_tile(T: int, cap: int) -> int:
+    """Largest 8-aligned tile <= cap minimizing padded frames: compute
+    scales with nT*tile_t, so e.g. T=2998 runs 2% faster at tile 752
+    (pads to 3008) than at the VMEM-optimal cap 768 (pads to 3072)."""
+    nT = -(-T // cap)
+    return max(8, 8 * -(-T // (8 * nT)))
+
+
 def _dispatch(y, M, *, n_fft, win_length, hop_length, l_harm, l_perc,
               power, tile_t, dft_precision, interpret):
     """Shared lead-dim handling + short-clip fallback.  ``M`` is the
@@ -372,8 +380,8 @@ def _dispatch(y, M, *, n_fft, win_length, hop_length, l_harm, l_perc,
             # VMEM than mel tiles; tile 768 OOMs the 16 MB scoped limit
             # at F=257 (measured) — cap at 512.
             tile_t = min(tile_t, 512)
-        tt = min(tile_t, max(8, 8 * -(-T // 8)))
-        out = _frontend_pallas(y, None if M is None else M.T, tile_t=tt,
+        out = _frontend_pallas(y, None if M is None else M.T,
+                               tile_t=_pick_tile(T, tile_t),
                                interpret=interpret,
                                dft_precision=dft_precision, **kw)
 
@@ -395,7 +403,9 @@ def stft_hpss_mel(y: jax.Array, mel_basis, *, n_fft: int = 400,
     ``(..., n_mels, T)`` in one fused Pallas pass.
 
     ``mel_basis`` is ``(n_mels, F)`` (e.g. ``mel.mel_filterbank``); on
-    non-TPU backends falls back to the jnp oracle chain.
+    non-TPU backends falls back to the jnp oracle chain.  ``tile_t`` is
+    a cap: the actual tile is auto-sized to minimize padded frames
+    (see ``_pick_tile``).
     """
     M = jnp.asarray(mel_basis, jnp.float32)
     return _dispatch(y, M, n_fft=n_fft, win_length=win_length,

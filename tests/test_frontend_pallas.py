@@ -40,13 +40,17 @@ def _mel(n_mels, n_fft):
     (9_520, 48),     # T=58: last tile exactly ht frames
 ])
 def test_frontend_parity_small(rng, n_samples, tile_t):
+    # Calls _frontend_pallas directly: the public entry treats tile_t as
+    # a cap and auto-sizes tiles to minimize padding, which would defeat
+    # these exact thin-/full-last-tile geometries.
     n_fft, win, hop, l_harm, l_perc = 400, 400, 160, 21, 11
     M = _mel(32, n_fft)
     y = rng.standard_normal((2, n_samples)).astype(np.float32)
-    Hm, Pm = fp.stft_hpss_mel(jnp.asarray(y), M, n_fft=n_fft,
-                              win_length=win, hop_length=hop,
-                              l_harm=l_harm, l_perc=l_perc,
-                              tile_t=tile_t, interpret=True)
+    Hm, Pm = fp._frontend_pallas(jnp.asarray(y), jnp.asarray(M).T,
+                                 n_fft=n_fft, win_length=win,
+                                 hop_length=hop, l_harm=l_harm,
+                                 l_perc=l_perc, power=2.0,
+                                 tile_t=tile_t, interpret=True)
     gH, gP = _oracle(y, M, n_fft=n_fft, win=win, hop=hop,
                      l_harm=l_harm, l_perc=l_perc)
     np.testing.assert_allclose(np.asarray(Hm), gH, rtol=2e-4, atol=2e-5)
@@ -59,10 +63,10 @@ def test_frontend_parity_jang_geometry(rng):
     n_fft, win, hop = 512, 400, 160
     M = _mel(24, n_fft)
     y = rng.standard_normal((1, 12_000)).astype(np.float32)
-    Hm, Pm = fp.stft_hpss_mel(jnp.asarray(y), M, n_fft=n_fft,
-                              win_length=win, hop_length=hop,
-                              l_harm=11, l_perc=5, tile_t=32,
-                              interpret=True)
+    Hm, Pm = fp._frontend_pallas(jnp.asarray(y), jnp.asarray(M).T,
+                                 n_fft=n_fft, win_length=win,
+                                 hop_length=hop, l_harm=11, l_perc=5,
+                                 power=2.0, tile_t=32, interpret=True)
     gH, gP = _oracle(y, M, n_fft=n_fft, win=win, hop=hop,
                      l_harm=11, l_perc=5)
     np.testing.assert_allclose(np.asarray(Hm), gH, rtol=2e-4, atol=2e-5)
