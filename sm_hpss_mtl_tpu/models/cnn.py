@@ -21,6 +21,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .pool import max_pool
 from .heads import BN_KW, KDense, MTLHeads
 
 #: Keras glorot_uniform (the reference's explicit Doukhan initializer,
@@ -99,12 +100,12 @@ class DoukhanCNN(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
         x = _ConvBNRelu(64, (4, 5), dtype=self.dtype, name="c1")(x, train=train)
-        x = nn.max_pool(x, (2, 2), strides=(2, 2), padding="VALID")
+        x = max_pool(x, (2, 2), (2, 2), padding="VALID")
         x = _ConvBNRelu(128, (3, 3), dtype=self.dtype, name="c2")(x, train=train)
         x = _ConvBNRelu(128, (3, 3), dtype=self.dtype, name="c3")(x, train=train)
-        x = nn.max_pool(x, (2, 2), strides=(2, 2), padding="SAME")
+        x = max_pool(x, (2, 2), (2, 2), padding="SAME")
         x = _ConvBNRelu(256, (3, 3), dtype=self.dtype, name="c4")(x, train=train)
-        x = nn.max_pool(x, (1, 12), strides=(1, 12), padding="VALID")
+        x = max_pool(x, (1, 12), (1, 12), padding="VALID")
         x = x.reshape((x.shape[0], -1))
         for i, rate in enumerate([0.2, 0.3, 0.4, 0.5]):
             x = _DenseBNReluDrop(512, rate, dtype=self.dtype, name=f"fc{i + 1}")(x, train=train)
@@ -131,18 +132,18 @@ class PapakostasCNN(nn.Module):
                     bias_init=_PAPA_B, name="c1")(x)
         x = local_response_normalization(x)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = max_pool(x, (3, 3), (2, 2), padding="SAME")
         x = nn.Conv(384, (3, 3), strides=(2, 2), padding="VALID",
                     dtype=self.dtype, kernel_init=_PAPA_K,
                     bias_init=_PAPA_B, name="c2")(x)
         x = local_response_normalization(x)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = max_pool(x, (3, 3), (2, 2), padding="SAME")
         x = nn.Conv(512, (3, 3), strides=(1, 1), padding="SAME",
                     dtype=self.dtype, kernel_init=_PAPA_K,
                     bias_init=_PAPA_B, name="c3")(x)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = max_pool(x, (3, 3), (2, 2), padding="SAME")
         x = x.reshape((x.shape[0], -1))
         x = _DenseBNReluDrop(4096, 0.5, dtype=self.dtype, papakostas=True, name="fc1")(x, train=train)
         x = _DenseBNReluDrop(4096, 0.5, dtype=self.dtype, papakostas=True, name="fc2")(x, train=train)

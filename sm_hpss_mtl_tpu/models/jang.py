@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import reference as ref
+from .pool import max_pool
 from .heads import BN_KW, KDense, MTLHeads
 
 
@@ -71,12 +72,24 @@ class MelScaleLayer(nn.Module):
                        (self.n_mels, F, self.t_dim, self.out_channels))
         W = W * jnp.asarray(mask)[:, :, None, None]
 
-        half = self.t_dim // 2
-        xp = jnp.pad(x, ((0, 0), (0, 0), (half, half)))
-        shifted = jnp.stack([xp[:, :, k:k + x.shape[2]]
-                             for k in range(self.t_dim)], axis=-1)  # (B,F,T,D)
-        return jnp.einsum("bftd,mfdc->bmtc", shifted, W,
-                          preferred_element_type=jnp.float32)
+        # The banded operator IS a 1-D conv over time with all F rows as
+        # input channels: out[b,t,m*C+c] = sum_{k,f} x[b,t+k-half,f] *
+        # W[m,f,k,c].  Lowered as lax.conv so fwd and both grads hit
+        # XLA's conv kernels directly (equal in speed to the
+        # shifted-stack einsum it replaced on v5e — ablation showed the
+        # Jang step cost lives in the conv blocks' pool/BN/dropout, not
+        # here — but avoids materializing the (B,F,T,t_dim) stack).
+        import jax
+        mc = self.n_mels * self.out_channels
+        kernel = jnp.transpose(W, (2, 1, 0, 3)).reshape(self.t_dim, F, mc)
+        x_nhc = jnp.swapaxes(x, 1, 2)                  # (B, T, F)
+        out = jax.lax.conv_general_dilated(
+            x_nhc, kernel, window_strides=(1,), padding="SAME",
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            preferred_element_type=jnp.float32)        # (B, T, M*C)
+        out = out.reshape(x.shape[0], x.shape[2], self.n_mels,
+                          self.out_channels)
+        return jnp.swapaxes(out, 1, 2)                 # (B, M, T, C)
 
 
 class _ConvBlock(nn.Module):
@@ -93,7 +106,7 @@ class _ConvBlock(nn.Module):
         x = nn.BatchNorm(use_running_average=not train, name="bn", **BN_KW)(x)
         x = nn.relu(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        return nn.max_pool(x, (2, 2), strides=(2, 2), padding=self.pool_padding)
+        return max_pool(x, (2, 2), (2, 2), padding=self.pool_padding)
 
 
 class JangCNN(nn.Module):

@@ -203,3 +203,25 @@ def test_batch_stats_update():
     state, _ = step(state, x, labels, RNG)
     after = jax.tree_util.tree_leaves(state.batch_stats)[0]
     assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_fast_max_pool_matches_flax(rng):
+    """models.pool.max_pool (reshape-max / strided-slice-max, TPU-fast
+    backward) must equal nn.max_pool for every config the models use."""
+    import flax.linen as nn
+    from sm_hpss_mtl_tpu.models.pool import max_pool
+
+    cases = [
+        ((2, 2), (2, 2), "VALID"), ((2, 2), (2, 2), "SAME"),
+        ((1, 12), (1, 12), "VALID"), ((3, 3), (2, 2), "SAME"),
+    ]
+    for H, W in ((240, 68), (31, 17), (8, 24)):
+        x = jnp.asarray(rng.standard_normal((2, H, W, 5)).astype(np.float32))
+        for window, strides, pad in cases:
+            if pad == "VALID" and (H < window[0] or W < window[1]):
+                continue
+            got = max_pool(x, window, strides, padding=pad)
+            want = nn.max_pool(x, window, strides=strides, padding=pad)
+            assert got.shape == want.shape, (window, strides, pad, H, W)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=0)
