@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..data.audio import read_audio
-from ..data.featurize import FeatureConfig, Featurizer
+
 from ..eval.metrics import get_performance
 from ..eval.segment import (StreamingSegmenter,
                             interval_annotations_to_markers,
@@ -30,6 +30,34 @@ from ..eval.segment import (StreamingSegmenter,
 from ..models import get_model
 from ..train import TrainState, for_model, make_predict, restore_checkpoint
 from ..train.config import MODEL_PRESETS
+
+
+def _featurize_broadcast(x, preset):
+    """Featurize a whole broadcast.  With >1 device and a Mel-HPSS
+    featName, shard the time axis across chips via the fused-frontend
+    halo exchange (``parallel.featuregram_time_sharded``) — the
+    multi-chip leg of the DAFx streaming path; otherwise the plain
+    jitted featuregram."""
+    import jax
+
+    from ..ops.featuregram import _parse, featuregram
+    from ..parallel import featuregram_time_sharded
+
+    n_dev = len(jax.devices())
+    log, is_mel, harm, perc = _parse(preset["feat_name"])
+    n_frames = 1 + (len(x) - preset["n_fft"]) // 160
+    if (n_dev > 1 and is_mel and (harm or perc)
+            and n_frames // n_dev >= 20):
+        from jax.sharding import Mesh
+        mesh = Mesh(np.array(jax.devices()).reshape(n_dev), ("time",))
+        return np.asarray(featuregram_time_sharded(
+            jnp.asarray(x), mesh, feat_name=preset["feat_name"],
+            n_fft=preset["n_fft"], n_mels=preset["n_mels"]))
+    return np.asarray(featuregram(
+        jnp.asarray(x), feat_name=preset["feat_name"],
+        n_fft=preset["n_fft"],
+        n_mels=preset["n_mels"] if preset["n_mels"] > 0 else 120,
+        use_pallas=jax.default_backend() == "tpu"))
 
 
 def main(argv=None):
@@ -52,15 +80,11 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     preset = MODEL_PRESETS[args.model]
-    feat_cfg = FeatureConfig(feat_name=preset["feat_name"],
-                             n_fft=preset["n_fft"],
-                             n_mels=preset["n_mels"])
-    fz = Featurizer(feat_cfg)
     if args.spec:
         fv = np.load(args.audio, allow_pickle=False)
     else:
         x, sr = read_audio(args.audio)
-        fv = fz._compute(x)
+        fv = _featurize_broadcast(x, preset)
 
     mels_kw = ({"n_mels": preset["n_mels"]} if preset["n_mels"] > 0 else {})
     spec = get_model(args.model, **mels_kw)

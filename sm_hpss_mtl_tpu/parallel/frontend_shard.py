@@ -104,3 +104,69 @@ def stft_hpss_mel_time_sharded(
             edge_flags=flags, interpret=interpret)
 
     return _fn(body, tail, M)
+
+
+def featuregram_time_sharded(y: jax.Array, mesh: Mesh, *,
+                             feat_name: str = "LogMelHarmPercSpec",
+                             sr: int = 16000, n_fft: int = 400,
+                             win_length: int = 400, hop_length: int = 160,
+                             n_mels: int = 120, l_harm: int = 21,
+                             l_perc: int = 11,
+                             axis: str = "time") -> jax.Array:
+    """Multi-chip featuregram for long recordings: the Mel/LogMel HPSS
+    featName family computed via the time-sharded fused frontend.
+
+    This is the multi-hour-broadcast featurization path of the DAFx12
+    driver (``/root/reference/DAFx12_...py:594-706``) scaled across
+    chips.  Frame counts that don't divide the ``axis`` size are
+    zero-padded to the next multiple and trimmed; the final
+    ``l_harm//2`` frames (whose median windows would see pad audio
+    instead of the symmetric spectral boundary) are recomputed exactly
+    on a ~3*(l_harm//2)-frame oracle slab and spliced in.
+    """
+    from ..ops import frontend_pallas as fp
+    from ..ops import mel as mel_mod
+    from ..ops.featuregram import _MEL_SR_QUIRK, _parse
+
+    log, is_mel, harm, perc = _parse(feat_name)
+    if not is_mel or not (harm or perc):
+        raise ValueError(
+            f"featuregram_time_sharded supports the Mel/LogMel HPSS "
+            f"family, got {feat_name!r}")
+
+    squeeze = y.ndim == 1
+    if squeeze:
+        y = y[None]
+    B, N = y.shape
+    n = mesh.shape[axis]
+    ht = l_harm // 2
+    T = 1 + (N - n_fft) // hop_length
+    Tpad = -(-T // n) * n
+    extra = Tpad - T
+    M = mel_mod.mel_filterbank(_MEL_SR_QUIRK, n_fft, n_mels)
+    kw = dict(n_fft=n_fft, win_length=win_length, hop_length=hop_length,
+              l_harm=l_harm, l_perc=l_perc)
+
+    n_need = (Tpad - 1) * hop_length + n_fft
+    yp = jnp.pad(y.astype(jnp.float32), ((0, 0), (0, max(0, n_need - N))))
+    H, P = stft_hpss_mel_time_sharded(yp[:, :n_need], M, mesh, axis=axis,
+                                      **kw)
+    H, P = H[..., :T], P[..., :T]
+    if extra:
+        # Tail splice: recompute the last ht frames against the TRUE
+        # right boundary (the padded run mirrored at Tpad, not T).
+        k = 3 * ht
+        t0 = (T - k) * hop_length
+        t1 = (T - 1) * hop_length + n_fft
+        th, tp = fp._oracle(y[:, t0:t1], M, power=2.0, **kw)
+        H = jnp.concatenate([H[..., :T - ht], th[..., -ht:]], axis=-1)
+        P = jnp.concatenate([P[..., :T - ht], tp[..., -ht:]], axis=-1)
+
+    def _post(fv):
+        if log:
+            fv = mel_mod.power_to_db(fv ** 2)
+        return fv.astype(jnp.float32)
+
+    parts = ([_post(H)] if harm else []) + ([_post(P)] if perc else [])
+    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-2)
+    return out[0] if squeeze else out

@@ -130,3 +130,26 @@ def test_frontend_time_sharded_validations(rng):
     y = jnp.zeros((1, 400 + 95 * 160))     # T=96 -> T_local=12 < 2*ht
     with pytest.raises(ValueError, match="smaller than"):
         stft_hpss_mel_time_sharded(y, M, mesh)
+
+
+def test_featuregram_time_sharded_matches_featuregram(rng):
+    # Long-audio multi-chip featuregram (DAFx path): T=205 not divisible
+    # by 8 -> exercises the pad + tail-splice; parity vs ops.featuregram.
+    from jax.sharding import Mesh
+    from sm_hpss_mtl_tpu.ops import featuregram as fg
+    from sm_hpss_mtl_tpu.parallel import featuregram_time_sharded
+
+    T = 205
+    y = rng.standard_normal((400 + (T - 1) * 160,)).astype(np.float32)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("time",))
+    got = featuregram_time_sharded(jnp.asarray(y), mesh,
+                                   feat_name="LogMelHarmPercSpec",
+                                   n_mels=24)
+    want = fg.featuregram(jnp.asarray(y), feat_name="LogMelHarmPercSpec",
+                          n_mels=24, use_pallas=False)
+    assert got.shape == want.shape == (48, T)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+    with pytest.raises(ValueError, match="Mel/LogMel HPSS"):
+        featuregram_time_sharded(jnp.asarray(y), mesh, feat_name="LogSpec")
