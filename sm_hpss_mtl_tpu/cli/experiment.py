@@ -75,7 +75,8 @@ def _device_pipeline(config, spec, feat_cfg, tr_files, va_files, data_seed,
     def batcher(files, seed):
         return AudioCropBatcher(cache, config.data_root, files, feat_cfg,
                                 clips_per_class=clips, n_patches_per_clip=k,
-                                patch_size=config.patch_size, seed=seed)
+                                patch_size=config.patch_size,
+                                patch_shift=config.patch_shift, seed=seed)
 
     train_iter = DevicePrefetcher(batcher(tr_files, data_seed + 100))
     val_iter = DevicePrefetcher(batcher(va_files, data_seed + 1))

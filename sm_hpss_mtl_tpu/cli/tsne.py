@@ -106,15 +106,23 @@ def grid_search_tsne(X, *, perplexities=range(5, 51, 5),
     """
     from sklearn.manifold import TSNE
     rows, best = [], None
+    seen = set()
     for P in perplexities:
         for E in exaggerations:
             for L in learning_rates:
-                t = TSNE(n_components=2,
-                         perplexity=min(P, max(2, len(X) // 4)),
+                # Record the perplexity actually run: small sample sets
+                # clamp it, and distinct requested values that alias to
+                # the same clamp would otherwise be logged as different
+                # configurations (and re-run pointlessly).
+                P_eff = min(P, max(2, len(X) // 4))
+                if (P_eff, E, L) in seen:
+                    continue
+                seen.add((P_eff, E, L))
+                t = TSNE(n_components=2, perplexity=P_eff,
                          early_exaggeration=E, learning_rate=L,
                          random_state=seed)
                 emb = t.fit_transform(X)
-                row = {"perplexity": P, "early_exaggeration": E,
+                row = {"perplexity": P_eff, "early_exaggeration": E,
                        "learning_rate": L,
                        "kl": float(t.kl_divergence_)}
                 rows.append(row)

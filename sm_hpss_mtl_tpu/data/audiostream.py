@@ -123,12 +123,14 @@ class AudioCropBatcher:
 
     def __init__(self, cache: AudioCache, folder: str, file_list: dict,
                  cfg: FeatureConfig, *, clips_per_class: int,
-                 n_patches_per_clip: int, patch_size: int, seed: int = 0):
+                 n_patches_per_clip: int, patch_size: int,
+                 patch_shift: int | None = None, seed: int = 0):
         self.cache = cache
         self.folder = folder
         self.cfg = cfg
         self.c = clips_per_class
-        self.L = crop_samples(n_patches_per_clip, patch_size, cfg)
+        self.L = crop_samples(n_patches_per_clip, patch_size, cfg,
+                              patch_shift=patch_shift)
         self.rng = np.random.default_rng(seed)
         if "speech+noise" in file_list:
             self.n_classes = 5

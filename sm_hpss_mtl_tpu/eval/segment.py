@@ -222,7 +222,14 @@ class StreamingSegmenter:
             _, outs = lax.scan(step, None, starts)
             return outs
 
-        outs = jax.jit(program)(jnp.asarray(fvp))
+        # Cache the compiled program: a fresh jax.jit wrapper per call
+        # would retrace + recompile the whole scan for every broadcast
+        # of the same shape.
+        key = (D, T_pad, chunk, n_slabs, self.input_kind)
+        cached = getattr(self, "_scan_cache", None)
+        if cached is None or cached[0] != key:
+            self._scan_cache = (key, jax.jit(program))
+        outs = self._scan_cache[1](jnp.asarray(fvp))
         return {k: np.asarray(v).reshape((-1,) + v.shape[2:])[:n_windows]
                 for k, v in outs.items()}
 

@@ -247,6 +247,10 @@ def _frontend_pallas(y: jax.Array, M, *, n_fft, win_length,
     Fpad = F + 2 * hp
     J = -(-n_fft // hop_length)
     T = 1 + (N - n_fft) // hop_length - (2 * ht if halo_in_audio else 0)
+    if tile_t < ht:
+        # The left-edge mirror only fires on tile 0; a tile thinner than
+        # the halo would need it on tile 1 too and be silently wrong.
+        raise ValueError(f"tile_t={tile_t} must be >= l_harm//2={ht}")
     n_fr = tile_t + 2 * ht
 
     tiles, nT, n_sb = _audio_tiles(y, T=T, tile_t=tile_t, hop=hop_length,

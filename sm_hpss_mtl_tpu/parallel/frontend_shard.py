@@ -99,7 +99,7 @@ def stft_hpss_mel_time_sharded(
         return fp._frontend_pallas(
             y_ext, M_rep.T, n_fft=n_fft, win_length=win_length,
             hop_length=hop_length, l_harm=l_harm, l_perc=l_perc,
-            power=power, tile_t=min(tile_t, max(8, 8 * -(-T_local // 8))),
+            power=power, tile_t=fp._pick_tile(T_local, tile_t),
             dft_precision=dft_precision, halo_in_audio=True,
             edge_flags=flags, interpret=interpret)
 

@@ -125,6 +125,16 @@ class BayesOptimizer:
                 params = self._sample()
                 if self._key(params) not in seen:
                     break
+            else:
+                # Sampling never found a fresh point — the space is (or
+                # is nearly) exhausted.  Scan it exhaustively for any
+                # unseen config before conceding a repeat.
+                import itertools
+                for combo in itertools.product(
+                        *(self.space[k] for k in self.names)):
+                    if combo not in seen:
+                        params = dict(zip(self.names, combo))
+                        break
         else:
             cands, keys = [], []
             for _ in range(self.n_candidates):

@@ -155,3 +155,18 @@ def test_device_pipeline_rejects_unsupported(toy, tmp_path):
         pipeline="device", skewness_vector="Row", seed=0)
     with pytest.raises(ValueError, match="device"):
         run_experiment(cfg, folds=[0], verbose=False)
+
+
+def test_crop_samples_overlapping_shift(tmp_path):
+    # Review fix: the device pipeline must size crops with patch_shift,
+    # not patch_size — overlapping windows need fewer frames for the
+    # same patch budget.
+    from sm_hpss_mtl_tpu.data.featurize import FeatureConfig
+    from sm_hpss_mtl_tpu.data.audiostream import crop_samples
+    from sm_hpss_mtl_tpu.ops.stft import n_frames
+
+    cfg = FeatureConfig(feat_name="LogMelHarmPercSpec", n_mels=8)
+    for k, size, shift in ((4, 68, 34), (4, 68, 68), (3, 16, 8)):
+        n = crop_samples(k, size, cfg, patch_shift=shift)
+        T = n_frames(n, cfg.n_fft, cfg.hop_length)
+        assert (T - size) // shift + 1 == k, (k, size, shift, T)

@@ -64,8 +64,8 @@ def flops_of(fn, *args):
         return float("nan")
 
 
-def time_train_step(spec, x, labels, rng):
-    opt, _ = for_model("Lemaire_et_al_MTL", tr_steps=1000)
+def time_train_step(name, spec, x, labels, rng):
+    opt, _ = for_model(name, tr_steps=1000)
     state = TrainState.create(spec.module, opt, x, rng)
     step = make_train_step(spec.module, opt, mtl=True)
 
@@ -124,10 +124,10 @@ def main(argv=None):
         # Zoo defaults = reference geometry (Jang MTL keeps its internal
         # 120-band mel-scale layer regardless of the raw-spec features).
         spec = get_model(name)
-        t_step, fl_step = time_train_step(spec, x, labels, rng)
+        t_step, fl_step = time_train_step(name, spec, x, labels, rng)
         t_fwd, fl_fwd = time_forward(spec, x, rng)
         spec16 = get_model(name, dtype=jnp.bfloat16)
-        t16, fl16 = time_train_step(spec16, x, labels, rng)
+        t16, fl16 = time_train_step(name, spec16, x, labels, rng)
         row = {
             "input": list(shape),
             "train_step_ms": round(t_step * 1e3, 3),
