@@ -7,7 +7,9 @@ Submodules:
 - ``stft``        batched STFT / iSTFT / RMS framing (XLA rFFT).
 - ``mel``         mel filterbank matmul + power_to_db.
 - ``hpss``        jnp HPSS (sliding medians + Wiener soft masks).
-- ``hpss_pallas`` fused single-pass Pallas TPU kernel for HPSS.
+- ``hpss_pallas`` fused single-pass Pallas TPU kernel for spectral HPSS.
+- ``frontend_pallas`` fully fused audio->feature Pallas kernel (windowed
+                  DFT + HPSS medians + masks + mel in one VMEM pass).
 - ``featuregram`` end-to-end featName dispatch (audio -> feature matrix).
 - ``patches``     sliding-window patch extraction + per-file scaling.
 - ``silence``     RMS silence removal (host-side segment logic).
@@ -15,4 +17,5 @@ Submodules:
 - ``stats``       per-patch moment statistics (skew/kurtosis vectors).
 """
 
-from . import featuregram, hpss, mel, mixing, patches, reference, silence, stats, stft  # noqa: F401
+from . import (featuregram, frontend_pallas, hpss, mel, mixing,  # noqa: F401
+               patches, reference, silence, stats, stft)
