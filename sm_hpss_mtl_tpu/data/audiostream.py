@@ -148,6 +148,16 @@ class AudioCropBatcher:
         self.queues = {cls: _FileQueue(file_list[key_of.get(cls, cls)],
                                        self.rng)
                        for cls in self.order}
+        self._exists: dict[str, bool] = {}
+
+    def _path_ok(self, path: str) -> bool:
+        # Memoized: os.path.exists is a syscall per clip per STEP on the
+        # hot path, and corpus files don't appear/vanish mid-run.
+        ok = self._exists.get(path)
+        if ok is None:
+            ok = os.path.exists(path)
+            self._exists[path] = ok
+        return ok
 
     # -- clip sampling ------------------------------------------------------
 
@@ -156,14 +166,14 @@ class AudioCropBatcher:
             partner = "music" if classname == "speech_music" else "noise"
             sp = os.path.join(self.folder, "speech", item["speech"])
             mu = os.path.join(self.folder, partner, item[partner])
-            if not (os.path.exists(sp) and os.path.exists(mu)):
+            if not (self._path_ok(sp) and self._path_ok(mu)):
                 return None, None
             audio = self.cache.get(classname, sp, mu, item["SMR"])
             db = float(item["SMR"])
         else:
             sub = "speech" if classname == "speech" else classname
             path = os.path.join(self.folder, sub, item)
-            if not os.path.exists(path):
+            if not self._path_ok(path):
                 return None, None
             kw = ({"sp_path": path} if classname == "speech"
                   else {"mu_path": path})
@@ -171,31 +181,38 @@ class AudioCropBatcher:
             db = None
         return audio, db
 
-    def _crop(self, audio: np.ndarray) -> np.ndarray:
+    def _crop_into(self, out: np.ndarray, audio: np.ndarray) -> None:
+        """Write one random crop into ``out`` (one copy, straight from
+        the mmap; no intermediate materialization)."""
         n = audio.shape[0]
         if n >= self.L:
             start = int(self.rng.integers(0, n - self.L + 1))
-            return np.asarray(audio[start:start + self.L], np.float32)
+            out[:] = audio[start:start + self.L]
+            return
         # Short clip: wrap-tile (the patching wrap rule, tools.pyx:29-38).
-        reps = -(-self.L // n)
-        return np.tile(np.asarray(audio, np.float32), reps)[:self.L]
+        pos = 0
+        while pos < self.L:
+            m = min(n, self.L - pos)
+            out[pos:pos + m] = audio[:m]
+            pos += m
 
     def __iter__(self):
         return self
 
     def __next__(self):
-        clips, dbs = [], {}
+        batch = np.empty((self.n_classes * self.c, self.L), np.float32)
+        row, dbs = 0, {}
         for cls in self.order:
             got, cls_dbs = 0, []
             while got < self.c:
                 audio, db = self._clip_audio(cls, self.queues[cls].next())
                 if audio is None:
                     continue
-                clips.append(self._crop(audio))
+                self._crop_into(batch[row], audio)
+                row += 1
                 cls_dbs.append(np.nan if db is None else db)
                 got += 1
             dbs[cls] = np.asarray(cls_dbs)
-        batch = np.stack(clips, axis=0)
         return batch, self._labels(dbs)
 
     # -- labels (BalancedBatcher._labels, clip-level) -----------------------
