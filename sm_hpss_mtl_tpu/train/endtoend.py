@@ -55,6 +55,12 @@ def device_featurize_patches(audio: jax.Array, cfg: FeatureConfig, *,
                               patch_shift=patch_shift)  # (k, B, D, W)
     k, B = patches.shape[0], patches.shape[1]
     patches = patches.reshape((k * B,) + patches.shape[2:])
+    if input_kind == "dual":
+        # Intermediate-fusion twin towers: split the stacked harm|perc
+        # rows into the model's dict inputs (batcher.py:244-252 layout).
+        half = patches.shape[1] // 2
+        return {"harm_input": jnp.transpose(patches[:, :half], (0, 2, 1)),
+                "perc_input": jnp.transpose(patches[:, half:], (0, 2, 1))}
     if input_kind == "time_mel":
         return jnp.transpose(patches, (0, 2, 1))
     return patches[..., None]
@@ -87,7 +93,8 @@ def make_audio_train_step(model, optimizer, cfg: FeatureConfig, *,
         if augment_noise:
             rng, aug = jax.random.split(rng)
             batch = _augment(batch, aug)
-        k = batch.shape[0] // audio.shape[0]
+        n_rows = jax.tree_util.tree_leaves(batch)[0].shape[0]
+        k = n_rows // audio.shape[0]
         labels = _broadcast_labels(labels, k)
         outputs, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats}, batch,
@@ -140,7 +147,7 @@ def make_audio_eval_step(model, cfg: FeatureConfig, *, patch_size: int,
         batch = device_featurize_patches(
             audio, cfg, patch_size=patch_size, patch_shift=patch_shift,
             input_kind=input_kind, use_pallas=use_pallas)
-        k = batch.shape[0] // audio.shape[0]
+        k = jax.tree_util.tree_leaves(batch)[0].shape[0] // audio.shape[0]
         labels_p = _broadcast_labels(labels, k)
         outputs = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},

@@ -107,3 +107,50 @@ def test_audio_train_step_data_parallel():
     ab, lb = shard_batch((audio, labels), mesh)
     s1, m1 = step(state, ab, lb, RNG)
     assert np.isfinite(float(m1["loss"]))
+
+
+def test_audio_steps_dual_tower(rng):
+    # Device pipeline for the intermediate-fusion twin towers: the fused
+    # featurization's harm|perc halves route into the model's dict
+    # inputs and one train step runs end-to-end.
+    from sm_hpss_mtl_tpu.data.featurize import FeatureConfig
+    from sm_hpss_mtl_tpu.models import get_model
+    from sm_hpss_mtl_tpu.train import TrainState, for_model
+    from sm_hpss_mtl_tpu.train.endtoend import (device_featurize_patches,
+                                                make_audio_eval_step,
+                                                make_audio_train_step)
+
+    cfg = FeatureConfig(feat_name="LogMelHarmPercSpec", n_mels=10)
+    B = 3
+    audio = jnp.asarray(rng.standard_normal((B, 16000)).astype(np.float32))
+    sample = device_featurize_patches(audio, cfg, patch_size=12,
+                                      patch_shift=12, input_kind="dual",
+                                      use_pallas=False)
+    assert set(sample) == {"harm_input", "perc_input"}
+    assert sample["harm_input"].shape[-1] == 10
+
+    spec = get_model("Lemaire_et_al_MTL_IF", n_mels=10, dropout_rate=0.0)
+    opt, _ = for_model("Lemaire_et_al_MTL_IF", tr_steps=100)
+    rng_j = jax.random.PRNGKey(0)
+    state = TrainState.create(spec.module, opt, sample, rng_j)
+    y = np.arange(B) % 3
+    oh = np.zeros((B, 3), np.float32)
+    oh[np.arange(B), y] = 1
+    labels = {
+        "S": jnp.asarray((y == 1).astype(np.float32)),
+        "M": jnp.asarray((y == 0).astype(np.float32)),
+        "R": jnp.asarray(np.stack([(y == 0), (y == 1)], -1)
+                         .astype(np.float32)),
+        "3C": jnp.asarray(oh),
+    }
+    step = make_audio_train_step(spec.module, opt, cfg, patch_size=12,
+                                 patch_shift=12, input_kind="dual",
+                                 use_pallas=False)
+    state2, metrics = step(state, audio, labels, rng_j)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.step) == 1
+    ev = make_audio_eval_step(spec.module, cfg, patch_size=12,
+                              patch_shift=12, input_kind="dual",
+                              use_pallas=False)
+    m = ev(state2, audio, labels)
+    assert np.isfinite(float(m["loss"]))
