@@ -70,11 +70,13 @@ def main():
 
     backend = jax.default_backend()
     step = featurize_step(use_pallas=(backend == "tpu"))
-    # The tunneled chip drifts between multi-minute fast/slow states
-    # that min-over-repeats within one round cannot shed (observed ±20%
-    # across runs).  Re-measure once only if the first round looks like
-    # a slow-state sample, so the common case stays within the driver's
-    # time budget.
+    # Metric semantics: BEST-OBSERVED throughput (min time), consistent
+    # with the min-over-repeats policy inside time_op — the chip's
+    # capability, not the tunnel's weather.  The tunneled chip drifts
+    # between multi-minute fast/slow states that min-over-repeats within
+    # one round cannot shed (observed ±20% across runs); re-measure once
+    # only if the first round looks like a slow-state sample, so the
+    # common case stays within the driver's time budget.
     t_dev = time_op(step, audio, iters=(3, 13), repeats=4)
     if backend == "tpu" and audio_hours / t_dev < 60.0:
         t_dev = min(t_dev, time_op(step, audio, iters=(3, 13), repeats=4))

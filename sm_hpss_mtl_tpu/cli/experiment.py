@@ -81,8 +81,7 @@ def _device_pipeline(config, spec, feat_cfg, tr_files, va_files, data_seed,
 
     step_kw = dict(patch_size=config.patch_size,
                    patch_shift=config.patch_shift,
-                   input_kind="dual" if spec.input_kind == "dual"
-                   else config.input_kind, mtl=spec.mtl,
+                   input_kind=spec.input_kind, mtl=spec.mtl,
                    loss_weights=config.loss_weights)
     train_step = make_audio_train_step(
         spec.module, optimizer, feat_cfg,

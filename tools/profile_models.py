@@ -109,7 +109,10 @@ def time_block(fn, x):
         y = fn(xx)
         s = jnp.sum(y.astype(jnp.float32))
         return xx * (1.0 + 1e-12 * s)
-    return time_op(carry_step, x, iters=(2, 10), repeats=3), flops_of(fn, x)
+    t = time_op(carry_step, x, iters=(2, 10), repeats=3)
+    if t * 1e3 < 0.05:
+        t = time_op(carry_step, x, iters=(10, 110), repeats=3)
+    return t, flops_of(fn, x)
 
 
 def lrn_block(x):
