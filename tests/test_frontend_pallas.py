@@ -136,3 +136,18 @@ def test_frontend_fullres_parity(rng, n_fft, n_samples, tile_t):
                                rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(Pm), np.asarray(gP),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_pick_tile_and_tile_guard():
+    # Auto-tiler: keeps the cap-implied tile count, shrinks to the
+    # smallest 8-aligned cover (T=2998 @ cap 768 -> 4x752).
+    assert fp._pick_tile(2998, 768) == 752
+    assert fp._pick_tile(48, 768) == 48
+    assert fp._pick_tile(5, 768) == 8
+    assert fp._pick_tile(98, 48) == 40
+    # Tiles thinner than the halo would silently skip the edge mirror.
+    with pytest.raises(ValueError, match="tile_t"):
+        fp._frontend_pallas(
+            jnp.zeros((1, 16_000)), None, n_fft=400, win_length=400,
+            hop_length=160, l_harm=21, l_perc=11, power=2.0, tile_t=8,
+            interpret=True)
