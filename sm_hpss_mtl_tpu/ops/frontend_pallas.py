@@ -53,7 +53,6 @@ to it (Pallas interpret mode is exercised separately in tests).
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
