@@ -22,7 +22,6 @@ import jax
 import jax.numpy as jnp
 
 from ..data.audio import read_audio
-
 from ..eval.metrics import get_performance
 from ..eval.segment import (StreamingSegmenter,
                             interval_annotations_to_markers,
