@@ -182,3 +182,26 @@ def test_tsne_cli(toy_root, tmp_path):
     assert emb.shape[1] == 2
     assert len(np.unique(y)) == 3
     assert os.path.exists(out)
+
+
+def test_scan_segmenter_caches_compiled_program(rng):
+    # Review fix: the scan driver must reuse its jitted program across
+    # calls of the same shape (a fresh jax.jit per call recompiles the
+    # whole scan for every broadcast).
+    from sm_hpss_mtl_tpu.eval.segment import StreamingSegmenter
+
+    def predict(batch):
+        return {"S": batch.mean(axis=(1, 2)), "M": batch.mean(axis=(1, 2))}
+
+    seg = StreamingSegmenter(predict_fn=predict, patch_size=8,
+                             chunk_frames=16, use_scan=True,
+                             standardize=False)
+    fv = rng.standard_normal((6, 80)).astype(np.float32)
+    out1 = seg.frame_probabilities(fv)
+    prog1 = seg._scan_cache[1]
+    out2 = seg.frame_probabilities(fv + 1.0)
+    assert seg._scan_cache[1] is prog1          # same compiled program
+    assert out1["S"].shape == out2["S"].shape
+    # Different shape -> new program.
+    seg.frame_probabilities(rng.standard_normal((6, 120)).astype(np.float32))
+    assert seg._scan_cache[1] is not prog1
