@@ -38,6 +38,10 @@ def stft_hpss_mel_time_sharded(
         interpret: bool | None = None) -> tuple[jax.Array, jax.Array]:
     """Audio ``(B, n_samples)`` -> ``(mel(H), mel(P))``, time-sharded.
 
+    ``mel_basis=None`` emits full-resolution masked magnitudes
+    ``(H, P)`` of shape ``(B, F, T)`` instead (the HarmSpec/PercSpec
+    featName family — Papakostas/Jang presets).
+
     Requirements: the frame count ``T = 1 + (n - n_fft) // hop`` must
     divide evenly by the ``axis`` size, and each local block must hold
     at least ``2 * (l_harm // 2)`` frames.  ``interpret=None`` picks
@@ -63,7 +67,14 @@ def stft_hpss_mel_time_sharded(
     body = y[:, :T * hop_length].astype(jnp.float32)
     tail = y[:, T * hop_length:(T - 1) * hop_length + n_fft]
     tail = tail.astype(jnp.float32)
-    M = jnp.asarray(mel_basis, jnp.float32)
+    emit_mel = mel_basis is not None
+    # The full-res variant caps its tile lower (VMEM; see _dispatch) —
+    # and a dummy 1-mel basis rides the replicated slot when unused.
+    if emit_mel:
+        M = jnp.asarray(mel_basis, jnp.float32)
+    else:
+        tile_t = min(tile_t, 512)
+        M = jnp.zeros((1, 1 + n_fft // 2), jnp.float32)
 
     body_spec = P(None, axis)
     out_spec = P(None, None, axis)
@@ -97,9 +108,10 @@ def stft_hpss_mel_time_sharded(
         flags = jnp.stack([(idx == 0).astype(jnp.int32),
                            (idx == n - 1).astype(jnp.int32)])[None, :]
         return fp._frontend_pallas(
-            y_ext, M_rep.T, n_fft=n_fft, win_length=win_length,
-            hop_length=hop_length, l_harm=l_harm, l_perc=l_perc,
-            power=power, tile_t=fp._pick_tile(T_local, tile_t),
+            y_ext, M_rep.T if emit_mel else None, n_fft=n_fft,
+            win_length=win_length, hop_length=hop_length, l_harm=l_harm,
+            l_perc=l_perc, power=power,
+            tile_t=fp._pick_tile(T_local, tile_t),
             dft_precision=dft_precision, halo_in_audio=True,
             edge_flags=flags, interpret=interpret)
 
@@ -113,8 +125,9 @@ def featuregram_time_sharded(y: jax.Array, mesh: Mesh, *,
                              n_mels: int = 120, l_harm: int = 21,
                              l_perc: int = 11,
                              axis: str = "time") -> jax.Array:
-    """Multi-chip featuregram for long recordings: the Mel/LogMel HPSS
-    featName family computed via the time-sharded fused frontend.
+    """Multi-chip featuregram for long recordings: the HPSS featName
+    families (Mel/LogMel and full-resolution (Log)Harm/Perc/HarmPerc)
+    computed via the time-sharded fused frontend.
 
     This is the multi-hour-broadcast featurization path of the DAFx12
     driver (``/root/reference/DAFx12_...py:594-706``) scaled across
@@ -129,10 +142,10 @@ def featuregram_time_sharded(y: jax.Array, mesh: Mesh, *,
     from ..ops.featuregram import _MEL_SR_QUIRK, _parse
 
     log, is_mel, harm, perc = _parse(feat_name)
-    if not is_mel or not (harm or perc):
+    if not (harm or perc):
         raise ValueError(
-            f"featuregram_time_sharded supports the Mel/LogMel HPSS "
-            f"family, got {feat_name!r}")
+            f"featuregram_time_sharded supports the HPSS featName "
+            f"families, got {feat_name!r}")
 
     squeeze = y.ndim == 1
     if squeeze:
@@ -143,7 +156,8 @@ def featuregram_time_sharded(y: jax.Array, mesh: Mesh, *,
     T = 1 + (N - n_fft) // hop_length
     Tpad = -(-T // n) * n
     extra = Tpad - T
-    M = mel_mod.mel_filterbank(_MEL_SR_QUIRK, n_fft, n_mels)
+    M = (mel_mod.mel_filterbank(_MEL_SR_QUIRK, n_fft, n_mels)
+         if is_mel else None)
     kw = dict(n_fft=n_fft, win_length=win_length, hop_length=hop_length,
               l_harm=l_harm, l_perc=l_perc)
 

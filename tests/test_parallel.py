@@ -151,5 +151,26 @@ def test_featuregram_time_sharded_matches_featuregram(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
 
-    with pytest.raises(ValueError, match="Mel/LogMel HPSS"):
+    with pytest.raises(ValueError, match="HPSS featName"):
         featuregram_time_sharded(jnp.asarray(y), mesh, feat_name="LogSpec")
+
+
+def test_featuregram_time_sharded_fullres(rng):
+    # Non-mel HPSS family over the sharded frontend (Papakostas/Jang
+    # featNames): full-resolution rows, tail splice exercised.
+    from jax.sharding import Mesh
+    from sm_hpss_mtl_tpu.ops import featuregram as fg
+    from sm_hpss_mtl_tpu.parallel import featuregram_time_sharded
+
+    T = 203
+    y = rng.standard_normal((400 + (T - 1) * 160,)).astype(np.float32)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("time",))
+    got = featuregram_time_sharded(jnp.asarray(y), mesh,
+                                   feat_name="LogHarmPercSpec")
+    want = fg.featuregram(jnp.asarray(y), feat_name="LogHarmPercSpec",
+                          use_pallas=False)
+    assert got.shape == want.shape == (402, T)
+    # dB-domain features at full resolution carry the bf16x3 DFT error
+    # (~0.01 dB, no mel averaging) — use the PARITY dB bar.
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=0.05)
