@@ -58,10 +58,10 @@ def _device_pipeline(config, spec, feat_cfg, tr_files, va_files, data_seed,
                                   make_audio_eval_step,
                                   make_audio_train_step)
 
-    if config.skewness_vector or config.frame_level_scaling:
+    if config.frame_level_scaling:
         raise ValueError(
             "pipeline='device' supports the standard patch configs (no "
-            "skewness/frame-scaling); use pipeline='host' for those")
+            "frame-level scaling); use pipeline='host' for that")
 
     k = max(config.clip_patches, 1)
     clips = max(1, -(-config.batch_size // k))
@@ -82,6 +82,7 @@ def _device_pipeline(config, spec, feat_cfg, tr_files, va_files, data_seed,
     step_kw = dict(patch_size=config.patch_size,
                    patch_shift=config.patch_shift,
                    input_kind=spec.input_kind, mtl=spec.mtl,
+                   skewness_vector=config.skewness_vector,
                    loss_weights=config.loss_weights)
     train_step = make_audio_train_step(
         spec.module, optimizer, feat_cfg,
@@ -92,7 +93,8 @@ def _device_pipeline(config, spec, feat_cfg, tr_files, va_files, data_seed,
     sample_audio, _ = next(train_iter)
     sample_input = device_featurize_patches(
         jnp.asarray(sample_audio), feat_cfg, patch_size=config.patch_size,
-        patch_shift=config.patch_shift, input_kind=step_kw["input_kind"])
+        patch_shift=config.patch_shift, input_kind=step_kw["input_kind"],
+        skewness_vector=config.skewness_vector)
     return train_iter, val_iter, train_step, eval_step, sample_input
 
 

@@ -32,11 +32,14 @@ from .state import TrainState, _augment
 def device_featurize_patches(audio: jax.Array, cfg: FeatureConfig, *,
                              patch_size: int, patch_shift: int,
                              input_kind: str = "time_mel",
+                             skewness_vector: str | None = None,
                              use_pallas: bool | None = None) -> jax.Array:
     """``(B, n) audio -> (B*k, ...) model-ready patches`` on device.
 
     Applies the reference's per-featuregram row standardization (split
-    per HPSS component for HarmPerc features) before windowing.
+    per HPSS component for HarmPerc features) before windowing;
+    ``skewness_vector`` ('Row'/'Col') replaces each patch with its
+    skewness vector, matching ``BalancedBatcher._patches_for``.
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
@@ -55,6 +58,11 @@ def device_featurize_patches(audio: jax.Array, cfg: FeatureConfig, *,
                               patch_shift=patch_shift)  # (k, B, D, W)
     k, B = patches.shape[0], patches.shape[1]
     patches = patches.reshape((k * B,) + patches.shape[2:])
+    if skewness_vector:
+        from ..ops.stats import patch_statistics
+        axis = 1 if skewness_vector == "Row" else 0
+        stats = patch_statistics(patches, stat_type="skew", axis=axis)
+        patches = stats[:, :, None] if axis == 1 else stats[:, None, :]
     if input_kind == "dual":
         # Intermediate-fusion twin towers: split the stacked harm|perc
         # rows into the model's dict inputs (batcher.py:244-252 layout).
@@ -76,6 +84,7 @@ def _broadcast_labels(labels, k: int):
 def make_audio_train_step(model, optimizer, cfg: FeatureConfig, *,
                           patch_size: int, patch_shift: int,
                           input_kind: str = "time_mel", mtl: bool = True,
+                          skewness_vector: str | None = None,
                           loss_weights: dict | None = None,
                           l2_reg: float = 0.0,
                           augment_noise: bool = False,
@@ -89,7 +98,8 @@ def make_audio_train_step(model, optimizer, cfg: FeatureConfig, *,
     def loss_fn(params, batch_stats, audio, labels, rng):
         batch = device_featurize_patches(
             audio, cfg, patch_size=patch_size, patch_shift=patch_shift,
-            input_kind=input_kind, use_pallas=use_pallas)
+            input_kind=input_kind, skewness_vector=skewness_vector,
+            use_pallas=use_pallas)
         if augment_noise:
             rng, aug = jax.random.split(rng)
             batch = _augment(batch, aug)
@@ -136,6 +146,7 @@ def make_audio_train_step(model, optimizer, cfg: FeatureConfig, *,
 def make_audio_eval_step(model, cfg: FeatureConfig, *, patch_size: int,
                          patch_shift: int, input_kind: str = "time_mel",
                          mtl: bool = True,
+                         skewness_vector: str | None = None,
                          loss_weights: dict | None = None,
                          use_pallas: bool | None = None) -> Callable:
     """Jitted ``(state, audio, clip_labels) -> metrics`` — the eval analog
@@ -146,7 +157,8 @@ def make_audio_eval_step(model, cfg: FeatureConfig, *, patch_size: int,
     def eval_step(state: TrainState, audio, labels):
         batch = device_featurize_patches(
             audio, cfg, patch_size=patch_size, patch_shift=patch_shift,
-            input_kind=input_kind, use_pallas=use_pallas)
+            input_kind=input_kind, skewness_vector=skewness_vector,
+            use_pallas=use_pallas)
         k = jax.tree_util.tree_leaves(batch)[0].shape[0] // audio.shape[0]
         labels_p = _broadcast_labels(labels, k)
         outputs = model.apply(

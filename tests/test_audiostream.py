@@ -152,7 +152,7 @@ def test_device_pipeline_rejects_unsupported(toy, tmp_path):
         model="Lemaire_et_al_MTL", data_root=root,
         output_dir=str(tmp_path / "res2"), epochs=1, batch_size=2,
         patch_size=16, patch_shift=16, tr_steps=1, v_steps=1,
-        pipeline="device", skewness_vector="Row", seed=0)
+        pipeline="device", frame_level_scaling=True, seed=0)
     with pytest.raises(ValueError, match="device"):
         run_experiment(cfg, folds=[0], verbose=False)
 
@@ -170,3 +170,26 @@ def test_crop_samples_overlapping_shift(tmp_path):
         n = crop_samples(k, size, cfg, patch_shift=shift)
         T = n_frames(n, cfg.n_fft, cfg.hop_length)
         assert (T - size) // shift + 1 == k, (k, size, shift, T)
+
+
+def test_device_featurize_skewness_vector(rng):
+    # skewness_vector on the device path equals patch_statistics over the
+    # plain patch output (the host batcher's transformation).
+    from sm_hpss_mtl_tpu.data.featurize import FeatureConfig
+    from sm_hpss_mtl_tpu.ops.stats import patch_statistics
+    from sm_hpss_mtl_tpu.train.endtoend import device_featurize_patches
+
+    cfg = FeatureConfig(feat_name="LogMelHarmPercSpec", n_mels=8)
+    audio = jnp.asarray(rng.standard_normal((2, 16000)).astype(np.float32))
+    plain = device_featurize_patches(audio, cfg, patch_size=12,
+                                     patch_shift=12, input_kind="image",
+                                     use_pallas=False)[..., 0]  # (N, D, W)
+    for sv, axis in (("Row", 1), ("Col", 0)):
+        got = device_featurize_patches(audio, cfg, patch_size=12,
+                                       patch_shift=12, input_kind="image",
+                                       skewness_vector=sv,
+                                       use_pallas=False)[..., 0]
+        want = np.asarray(patch_statistics(plain, stat_type="skew",
+                                           axis=axis))
+        want = want[:, :, None] if axis == 1 else want[:, None, :]
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
