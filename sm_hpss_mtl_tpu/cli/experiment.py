@@ -47,7 +47,7 @@ def split_train_val(train_files: dict, frac: float = 0.7, seed: int = 0):
 
 
 def _device_pipeline(config, spec, feat_cfg, tr_files, va_files, data_seed,
-                     optimizer):
+                     optimizer, fold_stats=None):
     """Build the on-device-featurize training legs (pipeline='device'):
     raw-audio crop iterators + fused audio->features->train/eval steps
     (``train.endtoend``).  Host work per step drops to memmap slices."""
@@ -57,11 +57,6 @@ def _device_pipeline(config, spec, feat_cfg, tr_files, va_files, data_seed,
     from ..train.endtoend import (device_featurize_patches,
                                   make_audio_eval_step,
                                   make_audio_train_step)
-
-    if config.frame_level_scaling:
-        raise ValueError(
-            "pipeline='device' supports the standard patch configs (no "
-            "frame-level scaling); use pipeline='host' for that")
 
     k = max(config.clip_patches, 1)
     clips = max(1, -(-config.batch_size // k))
@@ -83,6 +78,7 @@ def _device_pipeline(config, spec, feat_cfg, tr_files, va_files, data_seed,
                    patch_shift=config.patch_shift,
                    input_kind=spec.input_kind, mtl=spec.mtl,
                    skewness_vector=config.skewness_vector,
+                   fold_stats=fold_stats,
                    loss_weights=config.loss_weights)
     train_step = make_audio_train_step(
         spec.module, optimizer, feat_cfg,
@@ -94,7 +90,7 @@ def _device_pipeline(config, spec, feat_cfg, tr_files, va_files, data_seed,
     sample_input = device_featurize_patches(
         jnp.asarray(sample_audio), feat_cfg, patch_size=config.patch_size,
         patch_shift=config.patch_shift, input_kind=step_kw["input_kind"],
-        skewness_vector=config.skewness_vector)
+        skewness_vector=config.skewness_vector, fold_stats=fold_stats)
     return train_iter, val_iter, train_step, eval_step, sample_input
 
 
@@ -183,7 +179,7 @@ def run_fold(config: ExperimentConfig, cv_file_list: dict, fold: int,
         (raw_train, raw_val, audio_train_step, audio_eval_step,
          sample_model_input) = _device_pipeline(
             config, spec, feat_cfg, tr_files, va_files, data_seed,
-            optimizer)
+            optimizer, fold_stats=fold_stats)
         closers = (raw_train, raw_val)
         train_iter = _label_map(raw_train)
         val_iter = _label_map(raw_val)

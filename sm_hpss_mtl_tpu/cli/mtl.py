@@ -37,6 +37,9 @@ def build_parser(default_model: str = "Lemaire_et_al_MTL"):
     p.add_argument("--loss-weights", default=None,
                    help="e.g. 'S:0.5,M:0.5,R:0.5,3C:1.0'")
     p.add_argument("--skewness-vector", choices=["Row", "Col"], default=None)
+    p.add_argument("--frame-level-scaling", action="store_true",
+                   help="scale featuregram frames by per-fold corpus "
+                        "mean/stdev (the reference's cscale_data path)")
     p.add_argument("--bf16", action="store_true",
                    help="mixed-precision compute (bfloat16 activations)")
     p.add_argument("--pipeline", choices=["host", "device"], default="host",
@@ -65,7 +68,8 @@ def config_from_args(args) -> ExperimentConfig:
         augment_noise=not args.no_augment, loss_weights=lw,
         compute_dtype="bfloat16" if args.bf16 else "float32",
         pipeline=args.pipeline, clip_patches=args.clip_patches,
-        skewness_vector=args.skewness_vector, seed=args.seed)
+        skewness_vector=args.skewness_vector,
+        frame_level_scaling=args.frame_level_scaling, seed=args.seed)
 
 
 def main(argv=None):

@@ -33,11 +33,15 @@ def device_featurize_patches(audio: jax.Array, cfg: FeatureConfig, *,
                              patch_size: int, patch_shift: int,
                              input_kind: str = "time_mel",
                              skewness_vector: str | None = None,
+                             fold_stats=None,
                              use_pallas: bool | None = None) -> jax.Array:
     """``(B, n) audio -> (B*k, ...) model-ready patches`` on device.
 
     Applies the reference's per-featuregram row standardization (split
-    per HPSS component for HarmPerc features) before windowing;
+    per HPSS component for HarmPerc features) before windowing —
+    unless ``fold_stats=(mean, stdev)`` is given, in which case the
+    corpus frame-level scaling replaces it (``scale_frames`` /
+    ``tools.pyx:138-166`` semantics, matching the host batcher);
     ``skewness_vector`` ('Row'/'Col') replaces each patch with its
     skewness vector, matching ``BalancedBatcher._patches_for``.
     """
@@ -48,7 +52,10 @@ def device_featurize_patches(audio: jax.Array, cfg: FeatureConfig, *,
                         hop_length=cfg.hop_length, n_mels=cfg.n_mels,
                         l_harm=cfg.l_harm, l_perc=cfg.l_perc,
                         use_pallas=use_pallas)          # (B, D, T)
-    if "HarmPerc" in cfg.feat_name:
+    if fold_stats is not None:
+        mean, stdev = (jnp.asarray(a, jnp.float32) for a in fold_stats)
+        fv = (fv - mean[None, :, None]) / (stdev[None, :, None] + 1e-10)
+    elif "HarmPerc" in cfg.feat_name:
         half = fv.shape[1] // 2
         fv = jnp.concatenate([standardize_rows(fv[:, :half]),
                               standardize_rows(fv[:, half:])], axis=1)
@@ -85,6 +92,7 @@ def make_audio_train_step(model, optimizer, cfg: FeatureConfig, *,
                           patch_size: int, patch_shift: int,
                           input_kind: str = "time_mel", mtl: bool = True,
                           skewness_vector: str | None = None,
+                          fold_stats=None,
                           loss_weights: dict | None = None,
                           l2_reg: float = 0.0,
                           augment_noise: bool = False,
@@ -99,7 +107,7 @@ def make_audio_train_step(model, optimizer, cfg: FeatureConfig, *,
         batch = device_featurize_patches(
             audio, cfg, patch_size=patch_size, patch_shift=patch_shift,
             input_kind=input_kind, skewness_vector=skewness_vector,
-            use_pallas=use_pallas)
+            fold_stats=fold_stats, use_pallas=use_pallas)
         if augment_noise:
             rng, aug = jax.random.split(rng)
             batch = _augment(batch, aug)
@@ -147,6 +155,7 @@ def make_audio_eval_step(model, cfg: FeatureConfig, *, patch_size: int,
                          patch_shift: int, input_kind: str = "time_mel",
                          mtl: bool = True,
                          skewness_vector: str | None = None,
+                         fold_stats=None,
                          loss_weights: dict | None = None,
                          use_pallas: bool | None = None) -> Callable:
     """Jitted ``(state, audio, clip_labels) -> metrics`` — the eval analog
@@ -158,7 +167,7 @@ def make_audio_eval_step(model, cfg: FeatureConfig, *, patch_size: int,
         batch = device_featurize_patches(
             audio, cfg, patch_size=patch_size, patch_shift=patch_shift,
             input_kind=input_kind, skewness_vector=skewness_vector,
-            use_pallas=use_pallas)
+            fold_stats=fold_stats, use_pallas=use_pallas)
         k = jax.tree_util.tree_leaves(batch)[0].shape[0] // audio.shape[0]
         labels_p = _broadcast_labels(labels, k)
         outputs = model.apply(

@@ -143,18 +143,33 @@ def test_experiment_device_pipeline_e2e(toy, tmp_path):
     assert out2["fit"].best_epoch >= 0
 
 
-def test_device_pipeline_rejects_unsupported(toy, tmp_path):
-    from sm_hpss_mtl_tpu.cli.experiment import run_experiment
-    from sm_hpss_mtl_tpu.train import ExperimentConfig
+def test_device_featurize_frame_scaling(rng):
+    # fold_stats on the device path applies the corpus frame scaling
+    # (scale_frames semantics) instead of per-featuregram
+    # standardization, matching the host batcher.
+    from sm_hpss_mtl_tpu.data.featurize import FeatureConfig
+    from sm_hpss_mtl_tpu.ops import featuregram as fg
+    from sm_hpss_mtl_tpu.ops.patches import extract_patches
+    from sm_hpss_mtl_tpu.train.endtoend import device_featurize_patches
 
-    root, _ = toy
-    cfg = ExperimentConfig(
-        model="Lemaire_et_al_MTL", data_root=root,
-        output_dir=str(tmp_path / "res2"), epochs=1, batch_size=2,
-        patch_size=16, patch_shift=16, tr_steps=1, v_steps=1,
-        pipeline="device", frame_level_scaling=True, seed=0)
-    with pytest.raises(ValueError, match="device"):
-        run_experiment(cfg, folds=[0], verbose=False)
+    cfg = FeatureConfig(feat_name="LogMelHarmPercSpec", n_mels=8)
+    D = 16
+    audio = jnp.asarray(rng.standard_normal((2, 16000)).astype(np.float32))
+    mean = rng.standard_normal(D).astype(np.float32)
+    stdev = np.abs(rng.standard_normal(D)).astype(np.float32) + 0.5
+    got = device_featurize_patches(audio, cfg, patch_size=12,
+                                   patch_shift=12, input_kind="image",
+                                   fold_stats=(mean, stdev),
+                                   use_pallas=False)[..., 0]
+    fv = fg.featuregram(audio, feat_name=cfg.feat_name, n_mels=8,
+                        use_pallas=False)
+    fv = (np.asarray(fv) - mean[None, :, None]) / (stdev[None, :, None]
+                                                   + 1e-10)
+    want = np.asarray(extract_patches(jnp.asarray(fv), patch_size=12,
+                                      patch_shift=12))
+    want = want.reshape((-1,) + want.shape[2:])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5,
+                               atol=1e-5)
 
 
 def test_crop_samples_overlapping_shift(tmp_path):
