@@ -102,3 +102,55 @@ def test_transfer_learn_continues():
                           mtl=True, epochs=2, steps_per_epoch=2, val_steps=1,
                           initial_epoch=2)
     assert res0.history == []
+
+
+def test_transfer_learn_composes_with_audio_steps(rng):
+    import jax
+    import jax.numpy as jnp
+    # The DAFx fine-tuning use case on un-cached corpora: transfer_learn
+    # continues from a restored state with the on-device audio
+    # train/eval steps (fit's prebuilt-step override).
+    from sm_hpss_mtl_tpu.data.featurize import FeatureConfig
+    from sm_hpss_mtl_tpu.models import get_model
+    from sm_hpss_mtl_tpu.train import TrainState, for_model
+    from sm_hpss_mtl_tpu.train.endtoend import (device_featurize_patches,
+                                                make_audio_eval_step,
+                                                make_audio_train_step)
+    from sm_hpss_mtl_tpu.train.transfer import transfer_learn
+
+    cfg = FeatureConfig(feat_name="LogMelHarmPercSpec", n_mels=8)
+    B = 3
+    rng_j = jax.random.PRNGKey(0)
+
+    def labels_for(n):
+        y = np.arange(n) % 3
+        oh = np.zeros((n, 3), np.float32)
+        oh[np.arange(n), y] = 1
+        return {"S": jnp.asarray((y == 1).astype(np.float32)),
+                "M": jnp.asarray((y == 0).astype(np.float32)),
+                "R": jnp.asarray(np.stack([(y == 0), (y == 1)], -1)
+                                 .astype(np.float32)),
+                "3C": jnp.asarray(oh)}
+
+    def stream():
+        while True:
+            a = jnp.asarray(rng.standard_normal((B, 16000))
+                            .astype(np.float32))
+            yield a, labels_for(B)
+
+    spec = get_model("Lemaire_et_al_MTL", n_mels=8, dropout_rate=0.0)
+    opt, _ = for_model("Lemaire_et_al_MTL", tr_steps=100)
+    sample = device_featurize_patches(
+        jnp.asarray(rng.standard_normal((B, 16000)).astype(np.float32)),
+        cfg, patch_size=12, patch_shift=12, use_pallas=False)
+    state = TrainState.create(spec.module, opt, sample, rng_j)
+
+    kw = dict(patch_size=12, patch_shift=12, use_pallas=False)
+    res = transfer_learn(
+        spec.module, opt, state, stream(), stream(), mtl=True,
+        epochs=2, steps_per_epoch=2, val_steps=1, initial_epoch=1,
+        train_step=make_audio_train_step(spec.module, opt, cfg, **kw),
+        eval_step=make_audio_eval_step(spec.module, cfg, **kw),
+        sample_state_input=sample, verbose=False)
+    assert int(res.state.step) >= 2          # 1 remaining epoch x 2 steps
+    assert np.isfinite(res.best_val_loss)
