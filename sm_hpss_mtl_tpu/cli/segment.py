@@ -39,7 +39,9 @@ def _featurize_broadcast(x, preset):
     jitted featuregram."""
     import jax
 
+    from ..data.featurize import _reflect_pad_to, bucket_length
     from ..ops.featuregram import _parse, featuregram
+    from ..ops.stft import n_frames as stft_frames
     from ..parallel import featuregram_time_sharded
 
     n_dev = len(jax.devices())
@@ -52,11 +54,18 @@ def _featurize_broadcast(x, preset):
         return np.asarray(featuregram_time_sharded(
             jnp.asarray(x), mesh, feat_name=preset["feat_name"],
             n_fft=preset["n_fft"], n_mels=preset["n_mels"]))
-    return np.asarray(featuregram(
+    # Bucket the audio length like Featurizer._compute: every distinct
+    # length otherwise traces/compiles a fresh XLA program, so batch
+    # segmenting many ragged files pays repeated multi-second compiles.
+    true_t = stft_frames(len(x), preset["n_fft"], 160)
+    x = _reflect_pad_to(np.asarray(x), bucket_length(len(x)))
+    fv = np.asarray(featuregram(
         jnp.asarray(x), feat_name=preset["feat_name"],
         n_fft=preset["n_fft"],
         n_mels=preset["n_mels"] if preset["n_mels"] > 0 else 120,
-        use_pallas=jax.default_backend() == "tpu"))
+        use_pallas=jax.default_backend() == "tpu",
+        valid_frames=jnp.asarray(true_t, jnp.int32)))
+    return fv[:, :true_t]
 
 
 def main(argv=None):

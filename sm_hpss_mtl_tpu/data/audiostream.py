@@ -151,12 +151,15 @@ class AudioCropBatcher:
         self._exists: dict[str, bool] = {}
 
     def _path_ok(self, path: str) -> bool:
-        # Memoized: os.path.exists is a syscall per clip per STEP on the
-        # hot path, and corpus files don't appear/vanish mid-run.
-        ok = self._exists.get(path)
-        if ok is None:
-            ok = os.path.exists(path)
-            self._exists[path] = ok
+        # Memoized positives only: os.path.exists is a syscall per clip
+        # per STEP on the hot path, and present corpus files don't vanish
+        # mid-run — but absent ones may appear later (cache warm-up,
+        # late mount), so misses are re-checked.
+        if path in self._exists:
+            return True
+        ok = os.path.exists(path)
+        if ok:
+            self._exists[path] = True
         return ok
 
     # -- clip sampling ------------------------------------------------------
@@ -204,9 +207,17 @@ class AudioCropBatcher:
         row, dbs = 0, {}
         for cls in self.order:
             got, cls_dbs = 0, []
+            misses = 0
+            max_misses = 4 * max(len(self.queues[cls].items), 1)
             while got < self.c:
+                if misses >= max_misses:
+                    raise FileNotFoundError(
+                        f"class '{cls}': no readable audio after "
+                        f"{misses} attempts — corpus files missing under "
+                        f"{self.folder}")
                 audio, db = self._clip_audio(cls, self.queues[cls].next())
                 if audio is None:
+                    misses += 1
                     continue
                 self._crop_into(batch[row], audio)
                 row += 1

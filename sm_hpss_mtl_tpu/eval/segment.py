@@ -225,7 +225,11 @@ class StreamingSegmenter:
         # Cache the compiled program: a fresh jax.jit wrapper per call
         # would retrace + recompile the whole scan for every broadcast
         # of the same shape.
-        key = (D, T_pad, chunk, n_slabs, self.input_kind)
+        # id(predict_fn) invalidates the cache when new weights are
+        # swapped onto a reused segmenter — the jitted closure captures
+        # predict_fn, so a stale program would keep serving old weights.
+        key = (D, T_pad, chunk, n_slabs, self.input_kind,
+               id(self.predict_fn))
         cached = getattr(self, "_scan_cache", None)
         if cached is None or cached[0] != key:
             self._scan_cache = (key, jax.jit(program))

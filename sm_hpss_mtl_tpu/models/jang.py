@@ -83,8 +83,13 @@ class MelScaleLayer(nn.Module):
         mc = self.n_mels * self.out_channels
         kernel = jnp.transpose(W, (2, 1, 0, 3)).reshape(self.t_dim, F, mc)
         x_nhc = jnp.swapaxes(x, 1, 2)                  # (B, T, F)
+        # Explicit symmetric padding: the shifted-stack formulation this
+        # replaced padded t_dim//2 on BOTH sides; 'SAME' would shift the
+        # time alignment by one frame for even t_dim.
+        half = self.t_dim // 2
         out = jax.lax.conv_general_dilated(
-            x_nhc, kernel, window_strides=(1,), padding="SAME",
+            x_nhc, kernel, window_strides=(1,),
+            padding=[(half, self.t_dim - 1 - half)],
             dimension_numbers=("NHC", "HIO", "NHC"),
             preferred_element_type=jnp.float32)        # (B, T, M*C)
         out = out.reshape(x.shape[0], x.shape[2], self.n_mels,
