@@ -69,9 +69,22 @@ def collect_class_patches(featurizer, folder, files_by_class, *,
     return np.concatenate(feats), np.concatenate(labels)
 
 
-def kmeans_compress(feats, labels, *, clusters=100, seed=0):
-    """Per-class KMeans compression (``draw_tSNE_plots.py:399-499``)."""
+def kmeans_compress(feats, labels, *, clusters=1000, seed=0, cache=None):
+    """Joint standardization then per-class KMeans compression
+    (``draw_tSNE_plots.py:414-430``: ``StandardScaler`` on the stacked
+    data, then per-class ``KMeans(n_clusters=1000)``).
+
+    ``cache``: optional ``.npz`` path; if it exists the compressed
+    centers are loaded instead of recomputed (the reference's
+    ``os.path.exists`` pickle guard around its embedding,
+    ``draw_tSNE_plots.py:406``), and it is written after a fresh run.
+    """
+    if cache and os.path.exists(cache):
+        z = np.load(cache)
+        return z["centers"], z["labels"]
     from sklearn.cluster import KMeans
+    mu, sd = feats.mean(axis=0), feats.std(axis=0)
+    feats = (feats - mu) / np.where(sd == 0, 1.0, sd)
     centers, center_labels = [], []
     for label in np.unique(labels):
         x = feats[labels == label]
@@ -79,13 +92,18 @@ def kmeans_compress(feats, labels, *, clusters=100, seed=0):
         km = KMeans(n_clusters=k, n_init=4, random_state=seed).fit(x)
         centers.append(km.cluster_centers_)
         center_labels.append(np.full(k, label))
-    return np.concatenate(centers), np.concatenate(center_labels)
+    X, y = np.concatenate(centers), np.concatenate(center_labels)
+    if cache:
+        np.savez(cache, centers=X, labels=y)
+    return X, y
 
 
-def kmeans_tsne(feats, labels, *, clusters=100, perplexity=30, seed=0):
+def kmeans_tsne(feats, labels, *, clusters=1000, perplexity=30, seed=0,
+                cache=None):
     """Per-class KMeans compression then joint t-SNE."""
     from sklearn.manifold import TSNE
-    X, y = kmeans_compress(feats, labels, clusters=clusters, seed=seed)
+    X, y = kmeans_compress(feats, labels, clusters=clusters, seed=seed,
+                           cache=cache)
     perplexity = min(perplexity, max(2, len(X) // 4))
     emb = TSNE(n_components=2, perplexity=perplexity,
                random_state=seed).fit_transform(X)
@@ -139,7 +157,10 @@ def main(argv=None):
     p.add_argument("--n-mels", type=int, default=120)
     p.add_argument("--stat", choices=["Row", "Col"], default=None)
     p.add_argument("--patch-size", type=int, default=68)
-    p.add_argument("--clusters", type=int, default=100)
+    p.add_argument("--clusters", type=int, default=1000,
+                   help="per-class KMeans size (draw_tSNE_plots.py:359)")
+    p.add_argument("--no-cache", action="store_true",
+                   help="skip the compressed-features cache next to --out")
     p.add_argument("--max-patches", type=int, default=5000)
     p.add_argument("--fold", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
@@ -165,9 +186,11 @@ def main(argv=None):
         patch_shift=args.patch_size, feat_name=args.feat_name,
         stat=args.stat, max_patches_per_class=args.max_patches,
         seed=args.seed)
+    cache = (None if args.no_cache
+             else os.path.splitext(args.out)[0] + "_compressed.npz")
     if args.grid_search:
         X, y = kmeans_compress(feats, labels, clusters=args.clusters,
-                               seed=args.seed)
+                               seed=args.seed, cache=cache)
         rows, best = grid_search_tsne(X, seed=args.seed)
         emb = best["embedding"]
         from ..utils.results import append_results
@@ -178,7 +201,7 @@ def main(argv=None):
               {k: v for k, v in best.items() if k != "embedding"})
     else:
         emb, y = kmeans_tsne(feats, labels, clusters=args.clusters,
-                             seed=args.seed)
+                             seed=args.seed, cache=cache)
     np.savez(args.out, embedding=emb, labels=y,
              class_names=list(files_by_class))
     print(f"saved {len(emb)} embedded points -> {args.out}")

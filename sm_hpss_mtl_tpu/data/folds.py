@@ -166,6 +166,19 @@ def save_cv_folds(cv_file_list: dict, op_dir: str) -> None:
     os.makedirs(op_dir, exist_ok=True)
     with open(os.path.join(op_dir, "cv_file_list.pkl"), "wb") as f:
         pickle.dump(cv_file_list, f, pickle.HIGHEST_PROTOCOL)
+    # Sidecar artifacts matching the reference's output directory:
+    # details.txt dumps every cv_file_list key
+    # (create_cross_validation_folds.py:286-289) and Dataset_Duration.pkl
+    # re-exposes the duration maps (:328-333).
+    with open(os.path.join(op_dir, "details.txt"), "w",
+              encoding="utf8") as f:
+        for key in cv_file_list:
+            f.write(f"{key}: {cv_file_list[key]}\n\n\n")
+    with open(os.path.join(op_dir, "Dataset_Duration.pkl"), "wb") as f:
+        pickle.dump({"total_duration": cv_file_list.get("total_duration", {}),
+                     "filewise_duration":
+                         cv_file_list.get("filewise_duration", {})},
+                    f, pickle.HIGHEST_PROTOCOL)
     # Human-readable fold CSVs, like the reference's fold{k}.csv.
     has_noise = "speech+noise" in cv_file_list
     for k in range(cv_file_list["CV_folds"]):
