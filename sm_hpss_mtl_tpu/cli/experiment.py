@@ -175,7 +175,14 @@ def run_fold(config: ExperimentConfig, cv_file_list: dict, fold: int,
 
     step_overrides = {}
     sample_model_input = None
-    if config.pipeline == "device":
+    pipeline = config.pipeline
+    if pipeline == "auto":
+        # On TPU the fused audio->features->train pipeline is the
+        # measured default (~9-17x step throughput at matched quality —
+        # AB_PIPELINE.json / PIPELINE_bench.json); elsewhere the host
+        # pipeline keeps reference-exact sweep semantics.
+        pipeline = "device" if jax.default_backend() == "tpu" else "host"
+    if pipeline == "device":
         (raw_train, raw_val, audio_train_step, audio_eval_step,
          sample_model_input) = _device_pipeline(
             config, spec, feat_cfg, tr_files, va_files, data_seed,

@@ -42,13 +42,17 @@ def build_parser(default_model: str = "Lemaire_et_al_MTL"):
                         "mean/stdev (the reference's cscale_data path)")
     p.add_argument("--bf16", action="store_true",
                    help="mixed-precision compute (bfloat16 activations)")
-    p.add_argument("--pipeline", choices=["host", "device"], default="host",
+    p.add_argument("--pipeline", choices=["auto", "host", "device"],
+                   default="host",
                    help="'device' runs featurization inside the train step "
                         "(host only streams raw-audio crops) — the TPU-"
                         "native fast path; 'host' is reference-parity "
                         "patch batching")
     p.add_argument("--clip-patches", type=int, default=4,
                    help="device pipeline: patches per sampled clip crop")
+    p.add_argument("--dft-precision", choices=["bf16x3", "highest"],
+                   default="bf16x3",
+                   help="fused-frontend DFT precision (NOTES.md policy)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -68,6 +72,7 @@ def config_from_args(args) -> ExperimentConfig:
         augment_noise=not args.no_augment, loss_weights=lw,
         compute_dtype="bfloat16" if args.bf16 else "float32",
         pipeline=args.pipeline, clip_patches=args.clip_patches,
+        dft_precision=args.dft_precision,
         skewness_vector=args.skewness_vector,
         frame_level_scaling=args.frame_level_scaling, seed=args.seed)
 

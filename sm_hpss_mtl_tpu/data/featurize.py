@@ -43,6 +43,10 @@ class FeatureConfig:
     l_perc: int = 11
     Tw: int = 25
     Ts: int = 10
+    #: fused-frontend windowed-DFT precision: 'bf16x3' (3-matmul manual
+    #: decomposition, ~f32 accuracy, the measured default) or 'highest'
+    #: (full f32, ~2x DFT cost) — see NOTES.md precision policy.
+    dft_precision: str = "bf16x3"
 
     @property
     def dim(self) -> int:
@@ -140,7 +144,8 @@ class Featurizer:
             jnp.asarray(audio), feat_name=c.feat_name, sr=c.sr,
             n_fft=c.n_fft, win_length=c.win_length, hop_length=c.hop_length,
             n_mels=c.n_mels, l_harm=c.l_harm, l_perc=c.l_perc,
-            use_pallas=self.use_pallas, valid_frames=valid)
+            use_pallas=self.use_pallas, valid_frames=valid,
+            dft_precision=c.dft_precision)
         out = np.asarray(out, dtype=np.float32)
         if self.bucket:
             out = out[:, :true_T]
@@ -239,7 +244,8 @@ class Featurizer:
                     hop_length=c.hop_length, n_mels=c.n_mels,
                     l_harm=c.l_harm, l_perc=c.l_perc,
                     use_pallas=self.use_pallas,
-                    valid_frames=valid[:, None, None])
+                    valid_frames=valid[:, None, None],
+                    dft_precision=c.dft_precision)
                 out = np.asarray(out, dtype=np.float32)
                 for (key, cache_path, _, true_T, _), fv in zip(chunk, out):
                     fv = fv[:, :true_T]

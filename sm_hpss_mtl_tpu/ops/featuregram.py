@@ -72,11 +72,13 @@ def _parse(feat_name: str):
 @functools.partial(
     jax.jit,
     static_argnames=("feat_name", "sr", "n_fft", "win_length", "hop_length",
-                     "n_mels", "l_harm", "l_perc", "use_pallas"))
+                     "n_mels", "l_harm", "l_perc", "use_pallas",
+                     "dft_precision"))
 def featuregram(y: jax.Array, *, feat_name: str, sr: int = 16000,
                 n_fft: int = 400, win_length: int = 400, hop_length: int = 160,
                 n_mels: int = 120, l_harm: int = 21, l_perc: int = 11,
-                use_pallas: bool = False, valid_frames=None) -> jax.Array:
+                use_pallas: bool = False, valid_frames=None,
+                dft_precision: str = "bf16x3") -> jax.Array:
     """Compute the featuregram for audio ``(..., n_samples)`` ->
     ``(..., D, T)``.
 
@@ -85,6 +87,9 @@ def featuregram(y: jax.Array, *, feat_name: str, sr: int = 16000,
     tests and as the correctness oracle.  ``valid_frames`` (traced scalar)
     limits the data-dependent power_to_db clamp to real frames when the
     audio was length-padded (see ``data.featurize.Featurizer``).
+    ``dft_precision`` ('bf16x3' | 'highest') selects the fused frontend's
+    windowed-DFT matmul precision (see HPSS_GOLDEN.json / NOTES.md for
+    the measured policy evidence).
     """
     log, mel, harm, perc = _parse(feat_name)
 
@@ -110,7 +115,8 @@ def featuregram(y: jax.Array, *, feat_name: str, sr: int = 16000,
         M = mel_mod.mel_filterbank(_MEL_SR_QUIRK, n_fft, n_mels)
         H, P = frontend_pallas.stft_hpss_mel(
             y, M, n_fft=n_fft, win_length=win_length,
-            hop_length=hop_length, l_harm=l_harm, l_perc=l_perc)
+            hop_length=hop_length, l_harm=l_harm, l_perc=l_perc,
+            dft_precision=dft_precision)
         already_mel = True
     elif use_pallas:
         # Full-resolution fused frontend (HarmSpec/PercSpec families —
@@ -118,7 +124,7 @@ def featuregram(y: jax.Array, *, feat_name: str, sr: int = 16000,
         from . import frontend_pallas
         H, P = frontend_pallas.stft_hpss(
             y, n_fft=n_fft, win_length=win_length, hop_length=hop_length,
-            l_harm=l_harm, l_perc=l_perc)
+            l_harm=l_harm, l_perc=l_perc, dft_precision=dft_precision)
         already_mel = False
     else:
         S = stft_mod.stft_mag(y, n_fft=n_fft, win_length=win_length,

@@ -89,6 +89,9 @@ class ExperimentConfig:
     #: 'float32' (reference parity) or 'bfloat16' (mixed-precision compute;
     #: params, BatchNorm stats, head outputs and losses stay f32)
     compute_dtype: str = "float32"
+    #: fused-frontend DFT precision: 'bf16x3' or 'highest' (NOTES.md
+    #: precision policy)
+    dft_precision: str = "bf16x3"
     seed: int = 0
     # Derived step counts (0 = compute from durations).
     tr_steps: int = 0
@@ -118,7 +121,7 @@ class ExperimentConfig:
             win_length=int(self.Tw * 16000 / 1000),
             hop_length=int(self.Ts * 16000 / 1000),
             n_mels=n_mels, l_harm=self.l_harm, l_perc=self.l_perc,
-            Tw=self.Tw, Ts=self.Ts)
+            Tw=self.Tw, Ts=self.Ts, dft_precision=self.dft_precision)
 
     def with_steps_from_durations(self, total_duration_hours: dict
                                   ) -> "ExperimentConfig":

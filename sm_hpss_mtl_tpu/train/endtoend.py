@@ -51,7 +51,8 @@ def device_featurize_patches(audio: jax.Array, cfg: FeatureConfig, *,
                         n_fft=cfg.n_fft, win_length=cfg.win_length,
                         hop_length=cfg.hop_length, n_mels=cfg.n_mels,
                         l_harm=cfg.l_harm, l_perc=cfg.l_perc,
-                        use_pallas=use_pallas)          # (B, D, T)
+                        use_pallas=use_pallas,
+                        dft_precision=cfg.dft_precision)  # (B, D, T)
     if fold_stats is not None:
         mean, stdev = (jnp.asarray(a, jnp.float32) for a in fold_stats)
         fv = (fv - mean[None, :, None]) / (stdev[None, :, None] + 1e-10)

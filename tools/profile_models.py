@@ -53,15 +53,27 @@ def mtl_labels(n):
     }
 
 
-def flops_of(fn, *args):
+#: v5e per-chip peaks (public spec): 819 GB/s HBM, 197 bf16 TFLOP/s
+#: (f32 via MXU passes ~1/4 of that).
+V5E_HBM_GBPS = 819.0
+
+def cost_of(fn, *args):
+    """(flops, bytes_accessed) from XLA's own cost model — bytes
+    accessed is the compiler's HBM-traffic estimate across fusion
+    boundaries, the numerator of the bandwidth roofline."""
     try:
         comp = jax.jit(fn).lower(*args).compile()
         cost = comp.cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
-        return float(cost.get("flops", float("nan")))
+        return (float(cost.get("flops", float("nan"))),
+                float(cost.get("bytes accessed", float("nan"))))
     except Exception:
-        return float("nan")
+        return float("nan"), float("nan")
+
+
+def flops_of(fn, *args):
+    return cost_of(fn, *args)[0]
 
 
 def time_train_step(name, spec, x, labels, rng):
@@ -79,8 +91,9 @@ def time_train_step(name, spec, x, labels, rng):
         # Sub-50us differencing underflows in a noisy window (seen as a
         # 0.0 row for the Lemaire TCN); re-measure with a longer chain.
         t = time_op(carry_step, (state, x), iters=(10, 110), repeats=3)
-    fl = flops_of(lambda s, xx: step(s, xx, labels, rng)[0].params, state, x)
-    return t, fl
+    fl, by = cost_of(lambda s, xx: step(s, xx, labels, rng)[0].params,
+                     state, x)
+    return t, fl, by
 
 
 def time_forward(spec, x, rng):
@@ -133,16 +146,22 @@ def main(argv=None):
         # Zoo defaults = reference geometry (Jang MTL keeps its internal
         # 120-band mel-scale layer regardless of the raw-spec features).
         spec = get_model(name)
-        t_step, fl_step = time_train_step(name, spec, x, labels, rng)
+        t_step, fl_step, by_step = time_train_step(name, spec, x, labels,
+                                                   rng)
         t_fwd, fl_fwd = time_forward(spec, x, rng)
         spec16 = get_model(name, dtype=jnp.bfloat16)
-        t16, fl16 = time_train_step(name, spec16, x, labels, rng)
+        t16, fl16, by16 = time_train_step(name, spec16, x, labels, rng)
+        gbps = by_step / t_step / 1e9
         row = {
             "input": list(shape),
             "train_step_ms": round(t_step * 1e3, 3),
             "train_step_gflops": round(fl_step / 1e9, 2),
             "train_step_tflops_per_s": round(fl_step / t_step / 1e12, 2),
+            "train_step_bytes_gb": round(by_step / 1e9, 3),
+            "train_step_achieved_gbps": round(gbps, 1),
+            "train_step_hbm_frac": round(gbps / V5E_HBM_GBPS, 3),
             "train_step_bf16_ms": round(t16 * 1e3, 3),
+            "train_step_bf16_achieved_gbps": round(by16 / t16 / 1e9, 1),
             "forward_ms": round(t_fwd * 1e3, 3),
             "forward_gflops": round(fl_fwd / 1e9, 2),
             "forward_tflops_per_s": round(fl_fwd / t_fwd / 1e12, 2),
