@@ -82,6 +82,28 @@ def test_make_folds_cli(toy_root, tmp_path):
     make_folds.main(["--data", toy_root, "--output", str(tmp_path / "cv")])
     assert os.path.exists(tmp_path / "cv" / "cv_file_list.pkl")
     assert os.path.exists(tmp_path / "cv" / "fold2.csv")
+    # Reference sidecar artifacts (create_cross_validation_folds.py:
+    # 286,328-333): key dump + duration maps.
+    details = (tmp_path / "cv" / "details.txt").read_text()
+    assert details.startswith("CV_folds:")
+    assert "total_duration" in details
+    import pickle
+    with open(tmp_path / "cv" / "Dataset_Duration.pkl", "rb") as f:
+        dur = pickle.load(f)
+    assert set(dur) == {"total_duration", "filewise_duration"}
+    assert dur["total_duration"]["music"] > 0
+
+
+def test_pipeline_auto_resolves_to_host_on_cpu(toy_root, tmp_path):
+    """pipeline='auto' must pick the host pipeline on non-TPU backends
+    (on TPU it selects the fused device pipeline; cli/experiment.py)."""
+    cfg = ExperimentConfig(
+        model="Lemaire_et_al_MTL", data_root=toy_root,
+        output_dir=str(tmp_path / "res"), epochs=1, batch_size=2,
+        patch_size=16, patch_shift=16, tr_steps=2, v_steps=1,
+        pipeline="auto", seed=0)
+    out = run_experiment(cfg, folds=[0], verbose=False)
+    assert np.isfinite(out[0]["row"]["accuracy"])
 
 
 def test_generator_evaluation_metrics(toy_root, tmp_path):
