@@ -44,9 +44,13 @@ def read_annotations(annot_dir: str, class_name: str) -> list[tuple[str, str]]:
 
 
 def _stratified_folds(entries: list[tuple[str, str]], cv: int,
-                      existing_dir: str) -> dict:
+                      existing_dir: str,
+                      division: dict | None = None) -> dict:
     """Round-robin fold assignment within each stratum, in annotation-file
-    order (the reference's ``last_added_fold`` cycling)."""
+    order (the reference's ``last_added_fold`` cycling).  ``division``
+    (optional dict) collects the per-stratum assignment
+    ``{stratum: {foldK: [files]}}`` — the reference's
+    ``*_division.pkl`` sidecar structure."""
     folds = {f"fold{k}": [] for k in range(cv)}
     last = {}
     for stem, stratum in entries:
@@ -57,7 +61,12 @@ def _stratified_folds(entries: list[tuple[str, str]], cv: int,
             last[stratum] = 0
         else:
             last[stratum] = (last[stratum] + 1) % cv
-        folds[f"fold{last[stratum]}"].append(wav)
+        fold = f"fold{last[stratum]}"
+        folds[fold].append(wav)
+        if division is not None:
+            division.setdefault(stratum,
+                                {f"fold{k}": [] for k in range(cv)}
+                                )[fold].append(wav)
     return folds
 
 
@@ -118,14 +127,18 @@ def create_cv_folds(folder: str, *, annot_dir: str | None = None,
 
     cv_file_list = {"CV_folds": cv,
                     "dataset_name": os.path.basename(os.path.normpath(folder))}
+    divisions = {}
     for cls in base_classes:
         entries = read_annotations(annot_dir, cls)
         if not entries:
             entries = [(fn[:-4], "no_annot")
                        for fn in sorted(os.listdir(os.path.join(folder, cls)))
                        if fn.endswith(".wav")]
+        divisions[cls] = {}
         cv_file_list[cls] = _stratified_folds(entries, cv,
-                                              os.path.join(folder, cls))
+                                              os.path.join(folder, cls),
+                                              division=divisions[cls])
+    cv_file_list["_divisions"] = divisions
 
     cv_file_list["speech+music"] = _pair_folds(
         cv_file_list["speech"], cv_file_list["music"], "speech", "music",
@@ -179,6 +192,16 @@ def save_cv_folds(cv_file_list: dict, op_dir: str) -> None:
                      "filewise_duration":
                          cv_file_list.get("filewise_duration", {})},
                     f, pickle.HIGHEST_PROTOCOL)
+    # Per-stratum division sidecars matching the reference's data assets
+    # (cross_validation_info/musan/{music_genre,speech_gender}_division
+    # .pkl): {stratum: {foldK: [files]}}.
+    names = {"music": "music_genre_division",
+             "speech": "speech_gender_division",
+             "noise": "noise_division"}
+    for cls, div in cv_file_list.get("_divisions", {}).items():
+        with open(os.path.join(op_dir, names.get(cls, cls + "_division")
+                               + ".pkl"), "wb") as f:
+            pickle.dump(div, f, pickle.HIGHEST_PROTOCOL)
     # Human-readable fold CSVs, like the reference's fold{k}.csv.
     has_noise = "speech+noise" in cv_file_list
     for k in range(cv_file_list["CV_folds"]):
