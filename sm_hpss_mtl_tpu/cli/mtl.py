@@ -43,11 +43,13 @@ def build_parser(default_model: str = "Lemaire_et_al_MTL"):
     p.add_argument("--bf16", action="store_true",
                    help="mixed-precision compute (bfloat16 activations)")
     p.add_argument("--pipeline", choices=["auto", "host", "device"],
-                   default="host",
+                   default="auto",
                    help="'device' runs featurization inside the train step "
                         "(host only streams raw-audio crops) — the TPU-"
                         "native fast path; 'host' is reference-parity "
-                        "patch batching")
+                        "patch batching; 'auto' (default) picks device on "
+                        "TPU, host elsewhere (quality parity: "
+                        "AB_PIPELINE.json)")
     p.add_argument("--clip-patches", type=int, default=4,
                    help="device pipeline: patches per sampled clip crop")
     p.add_argument("--dft-precision", choices=["bf16x3", "highest"],

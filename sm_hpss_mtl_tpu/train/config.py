@@ -77,12 +77,15 @@ class ExperimentConfig:
     l2_reg: float = 0.01
     #: parallel host pipelines feeding the training stream
     prefetch_workers: int = 2
+    #: 'auto' (default) = device pipeline on TPU, host elsewhere;
     #: 'host' = featurize on host, feed patch batches (reference-parity
     #: semantics); 'device' = host streams raw-audio crops and
     #: STFT/HPSS/mel/patching/training run in ONE XLA program
     #: (train.endtoend) — the TPU-native fast path, ~20-40x less host
-    #: work per step (see data/audiostream.py for the semantic deltas)
-    pipeline: str = "host"
+    #: work per step.  Matched-seed quality A/B: host 0.8841 vs device
+    #: 0.8917 mean accuracy (AB_PIPELINE.json); semantic deltas
+    #: documented at data/audiostream.py:11-26.
+    pipeline: str = "auto"
     #: device pipeline: patches per sampled clip crop (clips per class =
     #: ceil(batch_size / clip_patches))
     clip_patches: int = 4
