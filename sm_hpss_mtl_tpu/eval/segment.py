@@ -25,6 +25,7 @@ from dataclasses import dataclass
 import numpy as np
 from scipy.signal import medfilt
 
+import jax
 import jax.numpy as jnp
 
 from ..ops.patches import standardize_rows
@@ -122,8 +123,37 @@ class StreamingSegmenter:
     chunk_frames: int = 10000
     input_kind: str = "time_mel"
     feat_name: str = "LogMelHarmPercSpec"
-    standardize: bool = True
+    #: Standardization scope.  Training standardizes each featuregram —
+    #: a single file/clip (``lib/preprocessing.py:146-148``) — but the
+    #: reference's DAFx streaming path feeds UNstandardized slabs
+    #: (its local ``get_feature_patches``, ``DAFx12_...py:260-294``, has
+    #: no StandardScaler), a train/test mismatch its protocol papers
+    #: over with transfer learning.  Measured on a real mixed broadcast
+    #: (REAL_AUDIO.json): whole-broadcast standardization collapses the
+    #: S head (0.707 positive on a speech-only slab -> 0.021 in a 200-s
+    #: mixed file), so the default is ``True`` == 'chunk': slab-local
+    #: stats, the closest streaming analog of the training scope.
+    #: 'featuregram' = whole-recording stats; False/'none' = reference
+    #: DAFx parity (no standardization).
+    standardize: bool | str = True
     use_scan: bool = False
+
+    def _scope(self) -> str:
+        if self.standardize is True:
+            return "chunk"
+        if self.standardize is False:
+            return "none"
+        return self.standardize
+
+    def _standardize_parts(self, arr):
+        """Per-row standardization, split per HPSS component for dual
+        HarmPerc features (np or traced jnp input)."""
+        xp = jnp if isinstance(arr, jax.Array) else np
+        if "HarmPerc" in self.feat_name:
+            half = arr.shape[0] // 2
+            return xp.concatenate([standardize_rows(arr[:half]),
+                                   standardize_rows(arr[half:])], axis=0)
+        return standardize_rows(arr)
 
     def _window_batch(self, fv: np.ndarray, start: int, count: int
                       ) -> np.ndarray:
@@ -131,28 +161,19 @@ class StreamingSegmenter:
         window index ``start`` of featuregram ``fv (D, T)``."""
         W = self.patch_size
         seg = fv[:, start:start + count + W - 1]
-        idx0 = np.arange(count)
+        if self._scope() == "chunk":
+            seg = np.asarray(self._standardize_parts(seg))
         # strided view via as_strided-free slicing: stack once per offset
         # would be O(W); use stride tricks on the host copy instead.
         from numpy.lib.stride_tricks import sliding_window_view
         wins = sliding_window_view(seg, W, axis=1)   # (D, count, W)
         return np.ascontiguousarray(np.moveaxis(wins, 1, 0))  # (count, D, W)
 
-    def _standardized(self, fv: np.ndarray) -> np.ndarray:
-        if not self.standardize:
-            return fv
-        dual = "HarmPerc" in self.feat_name
-        if dual:
-            half = fv.shape[0] // 2
-            return np.concatenate([
-                np.asarray(standardize_rows(fv[:half])),
-                np.asarray(standardize_rows(fv[half:]))], axis=0)
-        return np.asarray(standardize_rows(fv))
-
     def frame_probabilities(self, fv: np.ndarray) -> dict:
         """``fv``: (D, T) featuregram -> dict of per-window probability
         tracks (length T - patch_size + 1)."""
-        fv = self._standardized(fv)
+        if self._scope() == "featuregram":
+            fv = np.asarray(self._standardize_parts(fv))
         D, T = fv.shape
         n_windows = T - self.patch_size + 1
         if n_windows <= 0:
@@ -185,7 +206,12 @@ class StreamingSegmenter:
                                   ) -> dict:
         """One ``lax.scan`` over slabs: the entire recording's dense
         prediction is a single XLA program (one dispatch, weights stay
-        resident, no host round-trips between slabs)."""
+        resident, no host round-trips between slabs).
+
+        Under 'chunk'-scope standardization a ragged final slab is
+        standardized over its edge-padded width (static shapes), a small
+        approximation relative to the plain loop, which standardizes the
+        true ragged tail; full slabs are identical between drivers."""
         import jax
         from jax import lax
 
@@ -204,6 +230,8 @@ class StreamingSegmenter:
             def step(carry, start):
                 seg = lax.dynamic_slice(fv_dev, (0, start),
                                         (D, chunk + W - 1))
+                if self._scope() == "chunk":
+                    seg = self._standardize_parts(seg)
                 # (chunk, D, W) windows from W static strided slices — no
                 # gathers (TPU fancy-index gathers scalarize).
                 wins = jnp.stack(
@@ -228,7 +256,7 @@ class StreamingSegmenter:
         # id(predict_fn) invalidates the cache when new weights are
         # swapped onto a reused segmenter — the jitted closure captures
         # predict_fn, so a stale program would keep serving old weights.
-        key = (D, T_pad, chunk, n_slabs, self.input_kind,
+        key = (D, T_pad, chunk, n_slabs, self.input_kind, self._scope(),
                id(self.predict_fn))
         cached = getattr(self, "_scan_cache", None)
         if cached is None or cached[0] != key:

@@ -104,6 +104,45 @@ def test_streaming_segmenter_scan_matches_slab_loop():
         np.testing.assert_allclose(t1[k], t2[k], atol=1e-6)
 
 
+def test_streaming_segmenter_chunk_scope_standardization():
+    """standardize=True == slab-local ('chunk') scope: each slab is
+    row-standardized independently (the training-featuregram analog for
+    streaming — see REAL_AUDIO.json broadcast ablation), and the scan
+    driver matches the slab loop under it."""
+    rng = np.random.default_rng(3)
+    # full-slab geometry (n_windows = 500 = 5 slabs): on ragged tails the
+    # scan driver standardizes its edge-padded final slab, a documented
+    # approximation the plain loop doesn't share
+    D, T, W, chunk = 6, 515, 16, 100
+    fv = rng.standard_normal((D, T)).astype(np.float32)
+    fv[:, 200:] += 50.0   # scope matters: global stats != slab stats
+
+    def fake_predict(batch):  # (B, W, D)
+        return {"S": jnp.mean(batch, axis=(1, 2))[:, None]}
+
+    kw = dict(predict_fn=fake_predict, patch_size=W, chunk_frames=chunk,
+              feat_name="LogMelSpec")
+    t_chunk = StreamingSegmenter(**kw, standardize=True)
+    t_glob = StreamingSegmenter(**kw, standardize="featuregram")
+    t_none = StreamingSegmenter(**kw, standardize=False)
+    p_chunk = t_chunk.frame_probabilities(fv)["S"]
+    p_glob = t_glob.frame_probabilities(fv)["S"]
+    p_none = t_none.frame_probabilities(fv)["S"]
+    # all three scopes are genuinely different on this input
+    assert np.abs(p_chunk - p_glob).max() > 1e-3
+    assert np.abs(p_chunk - p_none).max() > 1e-3
+    # manual slab-local standardization of the first slab reproduces the
+    # chunk-scope windows
+    from sm_hpss_mtl_tpu.ops.patches import standardize_rows
+    seg0 = np.asarray(standardize_rows(fv[:, :chunk + W - 1]))
+    manual = np.stack([seg0[:, k:k + W].T.mean() for k in range(chunk)])
+    np.testing.assert_allclose(p_chunk[:chunk, 0], manual, atol=1e-5)
+    # scan driver matches the slab loop under chunk scope
+    p_scan = StreamingSegmenter(**kw, standardize=True,
+                                use_scan=True).frame_probabilities(fv)["S"]
+    np.testing.assert_allclose(p_chunk, p_scan, atol=1e-5)
+
+
 def test_streaming_segmenter_scan_mel_time_kind():
     rng = np.random.default_rng(2)
     D, T, W = 4, 96, 8
