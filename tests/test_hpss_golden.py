@@ -85,6 +85,27 @@ def test_decomposition_logmel_agreement(golden):
         assert c > golden._corr(a2, b2) + 0.05, comp
 
 
+def test_real_corpus_builder(tmp_path):
+    """tools/real_corpus.py slices the reference's real recordings into a
+    MUSAN-layout corpus the fold builder accepts."""
+    import real_corpus
+    from sm_hpss_mtl_tpu.data.folds import create_cv_folds
+
+    root = str(tmp_path / "real")
+    real_corpus.main(["--out", root, "--clip-s", "4",
+                      "--max-per-class", "6"])
+    for cls in ("music", "speech"):
+        wavs = [f for f in os.listdir(os.path.join(root, cls))
+                if f.endswith(".wav")]
+        assert len(wavs) == 6, (cls, wavs)
+    cv = create_cv_folds(root, seed=0)
+    assert cv["speech+music"]["fold0"], "pair synthesis must produce mixes"
+    from sm_hpss_mtl_tpu.data.audio import read_wav
+    x, sr = read_wav(os.path.join(root, "speech", "speech-real-0000.wav"))
+    assert sr == 16000 and len(x) == 64000
+    assert 0.2 < np.abs(x).max() <= 1.0  # normalized real content
+
+
 def test_resynthesis_sum_consistency(golden):
     from sm_hpss_mtl_tpu.cli.hpss_resynth import resynthesize
     x = normalize_signal_np(golden._read("mu"))
