@@ -69,7 +69,8 @@ def _device_pipeline(config, spec, feat_cfg, tr_files, va_files, data_seed,
         return AudioCropBatcher(cache, config.data_root, files, feat_cfg,
                                 clips_per_class=clips, n_patches_per_clip=k,
                                 patch_size=config.patch_size,
-                                patch_shift=config.patch_shift, seed=seed)
+                                patch_shift=config.patch_shift, seed=seed,
+                                min_crop_s=config.min_crop_s)
 
     train_iter = DevicePrefetcher(batcher(tr_files, data_seed + 100))
     val_iter = DevicePrefetcher(batcher(va_files, data_seed + 1))
@@ -79,7 +80,8 @@ def _device_pipeline(config, spec, feat_cfg, tr_files, va_files, data_seed,
                    input_kind=spec.input_kind, mtl=spec.mtl,
                    skewness_vector=config.skewness_vector,
                    fold_stats=fold_stats,
-                   loss_weights=config.loss_weights)
+                   loss_weights=config.loss_weights,
+                   n_patches_per_clip=k)
     train_step = make_audio_train_step(
         spec.module, optimizer, feat_cfg,
         l2_reg=config.l2_reg if spec.mtl else 0.0,
@@ -90,7 +92,8 @@ def _device_pipeline(config, spec, feat_cfg, tr_files, va_files, data_seed,
     sample_input = device_featurize_patches(
         jnp.asarray(sample_audio), feat_cfg, patch_size=config.patch_size,
         patch_shift=config.patch_shift, input_kind=step_kw["input_kind"],
-        skewness_vector=config.skewness_vector, fold_stats=fold_stats)
+        skewness_vector=config.skewness_vector, fold_stats=fold_stats,
+        max_patches=k)
     return train_iter, val_iter, train_step, eval_step, sample_input
 
 

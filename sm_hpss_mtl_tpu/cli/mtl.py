@@ -52,6 +52,9 @@ def build_parser(default_model: str = "Lemaire_et_al_MTL"):
                         "AB_PIPELINE.json)")
     p.add_argument("--clip-patches", type=int, default=4,
                    help="device pipeline: patches per sampled clip crop")
+    p.add_argument("--min-crop-s", type=float, default=0.0,
+                   help="device pipeline: minimum crop seconds for "
+                        "crop-local standardization context")
     p.add_argument("--dft-precision", choices=["bf16x3", "highest"],
                    default="bf16x3",
                    help="fused-frontend DFT precision (NOTES.md policy)")
@@ -74,7 +77,7 @@ def config_from_args(args) -> ExperimentConfig:
         augment_noise=not args.no_augment, loss_weights=lw,
         compute_dtype="bfloat16" if args.bf16 else "float32",
         pipeline=args.pipeline, clip_patches=args.clip_patches,
-        dft_precision=args.dft_precision,
+        min_crop_s=args.min_crop_s, dft_precision=args.dft_precision,
         skewness_vector=args.skewness_vector,
         frame_level_scaling=args.frame_level_scaling, seed=args.seed)
 

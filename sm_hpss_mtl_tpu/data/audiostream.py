@@ -124,13 +124,20 @@ class AudioCropBatcher:
     def __init__(self, cache: AudioCache, folder: str, file_list: dict,
                  cfg: FeatureConfig, *, clips_per_class: int,
                  n_patches_per_clip: int, patch_size: int,
-                 patch_shift: int | None = None, seed: int = 0):
+                 patch_shift: int | None = None, seed: int = 0,
+                 min_crop_s: float = 0.0):
         self.cache = cache
         self.folder = folder
         self.cfg = cfg
         self.c = clips_per_class
-        self.L = crop_samples(n_patches_per_clip, patch_size, cfg,
-                              patch_shift=patch_shift)
+        # min_crop_s floors the crop length: the device step standardizes
+        # over the WHOLE crop but trains only on the first
+        # n_patches_per_clip windows (endtoend.device_featurize_patches
+        # max_patches) — longer crops give stabler crop-local stats on
+        # non-stationary real audio without reducing clips per step.
+        self.L = max(crop_samples(n_patches_per_clip, patch_size, cfg,
+                                  patch_shift=patch_shift),
+                     int(min_crop_s * cfg.sr))
         self.rng = np.random.default_rng(seed)
         if "speech+noise" in file_list:
             self.n_classes = 5

@@ -89,6 +89,13 @@ class ExperimentConfig:
     #: device pipeline: patches per sampled clip crop (clips per class =
     #: ceil(batch_size / clip_patches))
     clip_patches: int = 4
+    #: device pipeline: floor on the crop length in seconds — the crop-
+    #: local standardization sees at least this much context while only
+    #: clip_patches windows train.  0 (default) keeps the minimal
+    #: geometric crop; the real-audio ablation (REAL_AUDIO.json) found
+    #: no quality gain from longer standardization context, so this is
+    #: an experiment knob, not a tuned default.
+    min_crop_s: float = 0.0
     #: 'float32' (reference parity) or 'bfloat16' (mixed-precision compute;
     #: params, BatchNorm stats, head outputs and losses stay f32)
     compute_dtype: str = "float32"

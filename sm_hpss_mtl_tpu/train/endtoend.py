@@ -34,7 +34,8 @@ def device_featurize_patches(audio: jax.Array, cfg: FeatureConfig, *,
                              input_kind: str = "time_mel",
                              skewness_vector: str | None = None,
                              fold_stats=None,
-                             use_pallas: bool | None = None) -> jax.Array:
+                             use_pallas: bool | None = None,
+                             max_patches: int | None = None) -> jax.Array:
     """``(B, n) audio -> (B*k, ...) model-ready patches`` on device.
 
     Applies the reference's per-featuregram row standardization (split
@@ -44,6 +45,12 @@ def device_featurize_patches(audio: jax.Array, cfg: FeatureConfig, *,
     ``tools.pyx:138-166`` semantics, matching the host batcher);
     ``skewness_vector`` ('Row'/'Col') replaces each patch with its
     skewness vector, matching ``BalancedBatcher._patches_for``.
+
+    ``max_patches`` keeps only the first k windows per clip while the
+    standardization still sees the WHOLE crop's frames — this decouples
+    the statistics context from the patch budget (short crops give
+    noisy crop-local stats on non-stationary real audio; see
+    REAL_AUDIO.json pipeline A/B and ``AudioCropBatcher.min_crop_s``).
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
@@ -64,6 +71,8 @@ def device_featurize_patches(audio: jax.Array, cfg: FeatureConfig, *,
         fv = standardize_rows(fv)
     patches = extract_patches(fv, patch_size=patch_size,
                               patch_shift=patch_shift)  # (k, B, D, W)
+    if max_patches is not None:
+        patches = patches[:max_patches]
     k, B = patches.shape[0], patches.shape[1]
     patches = patches.reshape((k * B,) + patches.shape[2:])
     if skewness_vector:
@@ -108,7 +117,8 @@ def make_audio_train_step(model, optimizer, cfg: FeatureConfig, *,
         batch = device_featurize_patches(
             audio, cfg, patch_size=patch_size, patch_shift=patch_shift,
             input_kind=input_kind, skewness_vector=skewness_vector,
-            fold_stats=fold_stats, use_pallas=use_pallas)
+            fold_stats=fold_stats, use_pallas=use_pallas,
+            max_patches=n_patches_per_clip)
         if augment_noise:
             rng, aug = jax.random.split(rng)
             batch = _augment(batch, aug)
@@ -158,7 +168,8 @@ def make_audio_eval_step(model, cfg: FeatureConfig, *, patch_size: int,
                          skewness_vector: str | None = None,
                          fold_stats=None,
                          loss_weights: dict | None = None,
-                         use_pallas: bool | None = None) -> Callable:
+                         use_pallas: bool | None = None,
+                         n_patches_per_clip: int | None = None) -> Callable:
     """Jitted ``(state, audio, clip_labels) -> metrics`` — the eval analog
     of :func:`make_audio_train_step` (featurize + forward + losses in one
     program; keys match ``train.state.make_eval_step``)."""
@@ -168,7 +179,8 @@ def make_audio_eval_step(model, cfg: FeatureConfig, *, patch_size: int,
         batch = device_featurize_patches(
             audio, cfg, patch_size=patch_size, patch_shift=patch_shift,
             input_kind=input_kind, skewness_vector=skewness_vector,
-            fold_stats=fold_stats, use_pallas=use_pallas)
+            fold_stats=fold_stats, use_pallas=use_pallas,
+            max_patches=n_patches_per_clip)
         k = jax.tree_util.tree_leaves(batch)[0].shape[0] // audio.shape[0]
         labels_p = _broadcast_labels(labels, k)
         outputs = model.apply(
