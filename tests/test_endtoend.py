@@ -28,6 +28,51 @@ def _clip_labels(B):
     }
 
 
+def test_device_patches_max_patches_trims_after_standardization(rng):
+    """max_patches keeps the first k windows while the crop-local
+    standardization still sees the WHOLE crop (the min_crop_s
+    decoupling): the kept patches must equal the first k of the full
+    extraction bit-for-bit."""
+    cfg = FeatureConfig(feat_name="LogMelSpec", n_mels=12)
+    audio = rng.standard_normal((3, 16000)).astype(np.float32)
+    full = np.asarray(device_featurize_patches(
+        jnp.asarray(audio), cfg, patch_size=16, patch_shift=16,
+        input_kind="time_mel", use_pallas=False))
+    kept = np.asarray(device_featurize_patches(
+        jnp.asarray(audio), cfg, patch_size=16, patch_shift=16,
+        input_kind="time_mel", use_pallas=False, max_patches=2))
+    assert kept.shape[0] == 2 * 3  # k * B
+    np.testing.assert_array_equal(kept, full[:2 * 3])
+
+
+def test_audio_crop_batcher_min_crop_s(tmp_path):
+    """min_crop_s floors the crop length independently of the patch
+    budget."""
+    from sm_hpss_mtl_tpu.data import make_toy_musan
+    from sm_hpss_mtl_tpu.data.audiostream import (AudioCache,
+                                                  AudioCropBatcher,
+                                                  crop_samples)
+    from sm_hpss_mtl_tpu.data.folds import (create_cv_folds,
+                                            get_train_test_files)
+    toy_root = make_toy_musan(str(tmp_path / "toy"), n_per_class=6)
+    cfg = FeatureConfig(feat_name="LogMelSpec", n_mels=12)
+    cv = create_cv_folds(toy_root, seed=0)
+    files, _ = get_train_test_files(
+        cv, 0, class_names=["music", "speech", "speech+music"])
+    cache = AudioCache()
+    short = AudioCropBatcher(cache, toy_root, files, cfg,
+                             clips_per_class=1, n_patches_per_clip=2,
+                             patch_size=16, patch_shift=16, seed=0)
+    floored = AudioCropBatcher(cache, toy_root, files, cfg,
+                               clips_per_class=1, n_patches_per_clip=2,
+                               patch_size=16, patch_shift=16, seed=0,
+                               min_crop_s=2.0)
+    assert short.L == crop_samples(2, 16, cfg, patch_shift=16)
+    assert floored.L == 32000
+    batch, labels = next(iter(floored))
+    assert batch.shape == (3, 32000)
+
+
 def test_device_patches_match_host_pipeline(rng):
     """Device featurize+standardize+patch must equal the host path."""
     cfg = FeatureConfig(feat_name="LogMelHarmPercSpec", n_mels=16)
