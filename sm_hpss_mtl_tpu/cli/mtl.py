@@ -52,6 +52,11 @@ def build_parser(default_model: str = "Lemaire_et_al_MTL"):
                         "AB_PIPELINE.json)")
     p.add_argument("--clip-patches", type=int, default=4,
                    help="device pipeline: patches per sampled clip crop")
+    p.add_argument("--feat-name", default=None,
+                   help="override the model preset's featName (the "
+                        "reference sets featName freely in PARAMS, e.g. "
+                        "LogMelHarmSpec / LogMelPercSpec for the "
+                        "late-fusion side models)")
     p.add_argument("--min-crop-s", type=float, default=0.0,
                    help="device pipeline: minimum crop seconds for "
                         "crop-local standardization context")
@@ -78,6 +83,7 @@ def config_from_args(args) -> ExperimentConfig:
         compute_dtype="bfloat16" if args.bf16 else "float32",
         pipeline=args.pipeline, clip_patches=args.clip_patches,
         min_crop_s=args.min_crop_s, dft_precision=args.dft_precision,
+        feat_name_override=args.feat_name,
         skewness_vector=args.skewness_vector,
         frame_level_scaling=args.frame_level_scaling, seed=args.seed)
 

@@ -69,6 +69,11 @@ class ExperimentConfig:
     dropout_rate: float = 0.275
     #: override the preset mel count (tuning sweeps); None = preset value
     n_mels_override: int | None = None
+    #: override the preset featName (the reference sets featName freely
+    #: in PARAMS — e.g. Late_Fusion's side models are Lemaire-MTL
+    #: trained on LogMelHarmSpec and LogMelPercSpec respectively,
+    #: ``Late_Fusion_Results.py``); None = preset value
+    feat_name_override: str | None = None
     #: architecture overrides for the Lemaire family (tuning drivers)
     arch_kwargs: dict | None = None
     #: Keras kernel_regularizer=l2() strength on head/mel-kernel weights
@@ -115,7 +120,8 @@ class ExperimentConfig:
 
     @property
     def feat_name(self) -> str:
-        return MODEL_PRESETS[self.model]["feat_name"]
+        return (self.feat_name_override
+                or MODEL_PRESETS[self.model]["feat_name"])
 
     @property
     def input_kind(self) -> str:
@@ -127,7 +133,7 @@ class ExperimentConfig:
         n_mels = (self.n_mels_override if self.n_mels_override is not None
                   else preset["n_mels"])
         return FeatureConfig(
-            feat_name=preset["feat_name"], n_fft=preset["n_fft"],
+            feat_name=self.feat_name, n_fft=preset["n_fft"],
             win_length=int(self.Tw * 16000 / 1000),
             hop_length=int(self.Ts * 16000 / 1000),
             n_mels=n_mels, l_harm=self.l_harm, l_perc=self.l_perc,

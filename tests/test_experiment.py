@@ -94,6 +94,17 @@ def test_make_folds_cli(toy_root, tmp_path):
     assert dur["total_duration"]["music"] > 0
 
 
+def test_feat_name_override():
+    """feat_name_override reproduces the reference's free featName PARAMS
+    (Late_Fusion side models: Lemaire-MTL on LogMelHarm/PercSpec)."""
+    cfg = ExperimentConfig(model="Lemaire_et_al_MTL",
+                           feat_name_override="LogMelPercSpec")
+    assert cfg.feat_name == "LogMelPercSpec"
+    assert cfg.feature_config().feat_name == "LogMelPercSpec"
+    assert (ExperimentConfig(model="Lemaire_et_al_MTL").feat_name
+            == "LogMelHarmPercSpec")
+
+
 def test_pipeline_auto_resolves_to_host_on_cpu(toy_root, tmp_path):
     """pipeline='auto' must pick the host pipeline on non-TPU backends
     (on TPU it selects the fused device pipeline; cli/experiment.py)."""
