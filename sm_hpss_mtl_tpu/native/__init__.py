@@ -62,6 +62,8 @@ def _load():
                                          ctypes.c_double, i64p, i64, i64p]
         lib.patch_statistics_f64.argtypes = [f64p, i64, i64, i64, i32, i32,
                                              f64p]
+        lib.add_gaussian_noise_f32.argtypes = [f32p, i64, ctypes.c_float,
+                                               ctypes.c_uint64]
         _lib = lib
 
 
@@ -140,6 +142,18 @@ def remove_silence(x: np.ndarray, energy: np.ndarray, fs: int,
     else:
         x_out = x
     return x_out, sample_marker, marker, total
+
+
+def add_gaussian_noise(x: np.ndarray, scale: float, seed: int) -> None:
+    """In-place ``x += scale * N(0,1)`` over a contiguous float32 array.
+
+    Ziggurat sampler (~3x numpy's float32 ``standard_normal`` on this
+    host, and no float64 upcast of the batch).  The stream is seeded per
+    call; determinism is per (seed, shape)."""
+    _load()
+    assert x.dtype == np.float32 and x.flags["C_CONTIGUOUS"]
+    _lib.add_gaussian_noise_f32(x.reshape(-1), x.size,
+                                np.float32(scale), np.uint64(seed))
 
 
 _STATS = {"mean": 0, "variance": 1, "skew": 2, "kurtosis": 3}

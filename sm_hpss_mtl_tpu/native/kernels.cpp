@@ -17,7 +17,110 @@
 #include <cstring>
 #include <algorithm>
 
+namespace {
+
+// xoshiro256++ (Blackman/Vigna, public domain), splitmix64-seeded.
+inline uint64_t rotl64(uint64_t x, int k) { return (x << k) | (x >> (64 - k)); }
+
+struct Xoshiro256 {
+    uint64_t s[4];
+    explicit Xoshiro256(uint64_t seed) {
+        uint64_t z = seed;
+        for (int i = 0; i < 4; ++i) {
+            z += 0x9e3779b97f4a7c15ULL;
+            uint64_t t = z;
+            t = (t ^ (t >> 30)) * 0xbf58476d1ce4e5b9ULL;
+            t = (t ^ (t >> 27)) * 0x94d049bb133111ebULL;
+            s[i] = t ^ (t >> 31);
+        }
+    }
+    inline uint64_t next() {
+        const uint64_t r = rotl64(s[0] + s[3], 23) + s[0];
+        const uint64_t t = s[1] << 17;
+        s[2] ^= s[0]; s[3] ^= s[1]; s[1] ^= s[2]; s[0] ^= s[3];
+        s[2] ^= t; s[3] = rotl64(s[3], 45);
+        return r;
+    }
+};
+
+// Marsaglia-Tsang ziggurat for the standard normal, 128 layers (the
+// classic r4_nor construction).  ~3x faster than Box-Muller on scalar
+// cores because >98% of draws are one table compare + multiply; only
+// wedge/tail draws touch exp/log.
+float g_zig_wn[128], g_zig_fn[128];
+uint32_t g_zig_kn[128];
+bool g_zig_ready = false;
+
+void zig_init() {
+    double m = 2147483648.0, dn = 3.442619855899, tn = dn,
+           vn = 9.91256303526217e-3;
+    const double q = vn / std::exp(-0.5 * dn * dn);
+    g_zig_kn[0] = (uint32_t)((dn / q) * m);
+    g_zig_kn[1] = 0;
+    g_zig_wn[0] = (float)(q / m);
+    g_zig_wn[127] = (float)(dn / m);
+    g_zig_fn[0] = 1.0f;
+    g_zig_fn[127] = (float)std::exp(-0.5 * dn * dn);
+    for (int i = 126; i >= 1; --i) {
+        dn = std::sqrt(-2.0 * std::log(vn / dn + std::exp(-0.5 * dn * dn)));
+        g_zig_kn[i + 1] = (uint32_t)((dn / tn) * m);
+        tn = dn;
+        g_zig_fn[i] = (float)std::exp(-0.5 * dn * dn);
+        g_zig_wn[i] = (float)(dn / m);
+    }
+    g_zig_ready = true;
+}
+
+inline float zig_uni(Xoshiro256& rng) {
+    return (float)((rng.next() >> 40) * (1.0 / 16777216.0));
+}
+
+float zig_nfix(Xoshiro256& rng, int32_t hz, int iz) {
+    const float r = 3.442620f;
+    float x, y;
+    for (;;) {
+        x = hz * g_zig_wn[iz];
+        if (iz == 0) {  // tail
+            do {
+                x = -std::log(zig_uni(rng) + 5.96e-8f) * (1.0f / r);
+                y = -std::log(zig_uni(rng) + 5.96e-8f);
+            } while (y + y < x * x);
+            return hz > 0 ? r + x : -r - x;
+        }
+        if (g_zig_fn[iz] + zig_uni(rng) * (g_zig_fn[iz - 1] - g_zig_fn[iz])
+                < std::exp(-0.5f * x * x))
+            return x;
+        hz = (int32_t)(uint32_t)rng.next();
+        iz = hz & 127;
+        if ((uint32_t)(hz < 0 ? -(int64_t)hz : hz) < g_zig_kn[iz])
+            return hz * g_zig_wn[iz];
+    }
+}
+
+}  // namespace
+
 extern "C" {
+
+// In-place x[i] += scale * N(0,1) over n floats — the reference's
+// Gaussian batch augmentation (Proposed_Work_Results.py:239-242) without
+// numpy's float64 Generator cost (measured ~3x faster than
+// rng.standard_normal(float32) on this host, and no f64 upcast of the
+// batch).  Deterministic for a given seed; the stream is this module's
+// own, not numpy's.
+void add_gaussian_noise_f32(float* x, int64_t n, float scale,
+                            uint64_t seed) {
+    if (!g_zig_ready) zig_init();
+    Xoshiro256 rng(seed);
+    for (int64_t i = 0; i < n; ++i) {
+        const int32_t hz = (int32_t)(uint32_t)rng.next();
+        const int iz = hz & 127;
+        const float g =
+            ((uint32_t)(hz < 0 ? -(int64_t)hz : hz) < g_zig_kn[iz])
+                ? hz * g_zig_wn[iz]
+                : zig_nfix(rng, hz, iz);
+        x[i] += scale * g;
+    }
+}
 
 // Sliding-window patch extraction over the time axis of a (D, T)
 // featuregram laid out row-major.  Start indices: 0, shift, 2*shift, ...

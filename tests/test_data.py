@@ -178,3 +178,63 @@ def test_balance_data_fallback(rng):
     u, c = np.unique(yb, return_counts=True)
     assert c[0] == c[1] == 20
     assert xb.shape[0] == 40
+
+
+def test_batcher_patch_cache(toy_root, cv, tmp_path):
+    cfg = FeatureConfig(feat_name="LogMelSpec", n_mels=20)
+    fz = Featurizer(cfg, cache_dir=str(tmp_path / "c1"))
+    train, _ = get_train_test_files(cv, fold=0)
+    bcfg = BatcherConfig(batch_size=2, patch_size=16, patch_shift=16,
+                         feat_name=cfg.feat_name, input_kind="time_mel",
+                         augment_noise=False, seed=3)
+    b = BalancedBatcher(fz, toy_root, train, bcfg)
+    for _ in range(6):
+        next(b)
+    # Every revisit hits the cache: entries stay bounded by the corpus,
+    # and a cached-path batch matches a cold-path batch bit for bit.
+    n_entries = len(b._patch_cache)
+    assert 0 < n_entries <= len(train["music"]) + len(train["speech"]) + \
+        len(train["speech+music"])
+    assert b._patch_bytes <= b._patch_limit
+    calls = {"n": 0}
+    orig = b._patches_for_uncached
+    b._patches_for_uncached = lambda *a: (calls.__setitem__("n", calls["n"] + 1)
+                                          or orig(*a))
+    x_warm, _ = next(b)
+    fz2 = Featurizer(cfg, cache_dir=str(tmp_path / "c2"))
+    b2 = BalancedBatcher(fz2, toy_root, train,
+                         BatcherConfig(batch_size=2, patch_size=16,
+                                       patch_shift=16,
+                                       feat_name=cfg.feat_name,
+                                       input_kind="time_mel",
+                                       augment_noise=False, seed=3,
+                                       patch_cache_mb=0))
+    for _ in range(6):
+        next(b2)
+    x_cold, _ = next(b2)
+    np.testing.assert_array_equal(x_warm, x_cold)
+
+
+def test_batcher_noise_fallback_matches_native_stats(toy_root, cv, tmp_path):
+    from sm_hpss_mtl_tpu import native as native_mod
+    cfg = FeatureConfig(feat_name="LogMelSpec", n_mels=20)
+    fz = Featurizer(cfg, cache_dir=str(tmp_path))
+    train, _ = get_train_test_files(cv, fold=0)
+    bcfg = BatcherConfig(batch_size=2, patch_size=16, patch_shift=16,
+                         feat_name=cfg.feat_name, input_kind="time_mel",
+                         augment_noise=True, seed=11)
+    b = BalancedBatcher(fz, toy_root, train, bcfg)
+    x_noisy, _ = next(b)
+    b_clean = BalancedBatcher(
+        fz, toy_root, train,
+        BatcherConfig(batch_size=2, patch_size=16, patch_shift=16,
+                      feat_name=cfg.feat_name, input_kind="time_mel",
+                      augment_noise=False, seed=11))
+    x_clean, _ = next(b_clean)
+    resid = (x_noisy - x_clean).ravel()
+    # The additive field is zero-mean Gaussian at one of the reference's
+    # scales {5e-3, 1e-3, 5e-4, 1e-4}.
+    assert abs(float(resid.mean())) < 5e-4
+    assert any(abs(float(resid.std()) - s) / s < 0.1
+               for s in (5e-3, 1e-3, 5e-4, 1e-4)), float(resid.std())
+    assert native_mod.available()  # the native path was exercised above

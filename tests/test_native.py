@@ -74,3 +74,31 @@ def test_native_large_featuregram(rng):
     out = native.extract_patches(fv, 68, 8)
     from sm_hpss_mtl_tpu.ops.patches import num_patches
     assert out.shape[0] == num_patches(20000, 68, 8)
+
+
+def test_add_gaussian_noise_moments():
+    x = np.zeros((48, 68, 240), np.float32)
+    native.add_gaussian_noise(x, 1.0, seed=42)
+    assert abs(float(x.mean())) < 5e-3
+    assert abs(float(x.var()) - 1.0) < 5e-3
+    z = (x - x.mean()) / x.std()
+    assert abs(float((z ** 3).mean())) < 2e-2            # skew
+    assert abs(float((z ** 4).mean()) - 3.0) < 5e-2      # kurtosis
+    # Tail mass beyond 3 sigma (2*Phi(-3) = 0.0027).
+    assert abs(float((np.abs(x) > 3).mean()) - 0.0027) < 5e-4
+
+
+def test_add_gaussian_noise_deterministic_and_scaled():
+    a = np.zeros(10000, np.float32)
+    b = np.zeros(10000, np.float32)
+    native.add_gaussian_noise(a, 5e-3, seed=7)
+    native.add_gaussian_noise(b, 5e-3, seed=7)
+    np.testing.assert_array_equal(a, b)
+    c = np.zeros(10000, np.float32)
+    native.add_gaussian_noise(c, 5e-3, seed=8)
+    assert not np.array_equal(a, c)
+    assert abs(float(a.std()) - 5e-3) < 5e-4
+    # Additive on existing content.
+    base = np.ones(10000, np.float32)
+    native.add_gaussian_noise(base, 5e-3, seed=7)
+    np.testing.assert_allclose(base, 1.0 + a, rtol=0, atol=1e-7)
