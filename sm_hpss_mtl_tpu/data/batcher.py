@@ -117,6 +117,28 @@ class _ClassStream:
         return (np.concatenate(out_parts, axis=0),
                 np.concatenate(db_parts, axis=0))
 
+    def take_into(self, out: np.ndarray) -> np.ndarray:
+        """Consume ``len(out)`` patches directly into ``out`` (one copy —
+        the take-then-concatenate path copied the whole batch twice).
+        Returns the consumed per-patch dB values."""
+        n = out.shape[0]
+        db_out = np.empty((n,))
+        filled = 0
+        while filled < n:
+            arr, dbs = self.buf[0], self.dbs[0]
+            avail = arr.shape[0] - self.offset
+            k = min(avail, n - filled)
+            out[filled:filled + k] = arr[self.offset:self.offset + k]
+            db_out[filled:filled + k] = dbs[self.offset:self.offset + k]
+            self.offset += k
+            filled += k
+            if self.offset == arr.shape[0]:
+                self.buf.pop(0)
+                self.dbs.pop(0)
+                self.offset = 0
+        self.count -= n
+        return db_out
+
 
 class BalancedBatcher:
     """Infinite iterator over class-balanced batches.
@@ -269,17 +291,15 @@ class BalancedBatcher:
             order.append("speech_music")
         if self.n_classes == 5:
             order += ["noise", "speech_noise"]
-        chunks, dbs = [], []
         for cls in order:
             self._fill(cls)
-            data, db = self.streams[cls].take(bs)
-            chunks.append(data)
-            dbs.append(db)
-        x = np.concatenate(chunks, axis=0)
+        patch_shape = self.streams[order[0]].buf[0].shape[1:]
+        x = np.empty((len(order) * bs, *patch_shape), np.float32)
+        dbs = [self.streams[cls].take_into(x[i * bs:(i + 1) * bs])
+               for i, cls in enumerate(order)]
 
         if self.cfg.input_kind != "time_mel":
             x = x[..., None]
-        x = np.ascontiguousarray(x, dtype=np.float32)
 
         if self.cfg.augment_noise:
             # Same scale-choice stream as before (self.rng); the Gaussian
