@@ -9,9 +9,10 @@ from sm_hpss_mtl_tpu.ops import silence as py_silence
 from sm_hpss_mtl_tpu.ops.patches import extract_patches_np, standardize_rows
 from sm_hpss_mtl_tpu.data.batcher import scale_frames
 
-pytestmark = pytest.mark.skipif(not native.available(),
-                                reason=f"native build failed: "
-                                       f"{native.build_error()}")
+pytestmark = [pytest.mark.quick,
+              pytest.mark.skipif(not native.available(),
+                                 reason=f"native build failed: "
+                                        f"{native.build_error()}")]
 
 
 @pytest.mark.parametrize("T,W,shift", [(500, 68, 68), (40, 68, 68),
