@@ -302,6 +302,22 @@ def run_fold(config: ExperimentConfig, cv_file_list: dict, fold: int,
             "tester": tester, "test_files": test_files}
 
 
+def load_or_create_folds(config: ExperimentConfig) -> dict:
+    """The reference's exists-guarded CV-fold bootstrap
+    (``create_cross_validation_folds.py`` run once, then every driver
+    loads the pickle)."""
+    with_noise = config.n_classes == 5
+    cv_path = os.path.join(config.data_root,
+                           "cv_info_5_class" if with_noise else "cv_info")
+    if os.path.exists(os.path.join(cv_path, "cv_file_list.pkl")):
+        return load_cv_folds(cv_path)
+    from ..data import create_cv_folds, save_cv_folds
+    cv_file_list = create_cv_folds(config.data_root, cv=config.cv_folds,
+                                   with_noise=with_noise, seed=config.seed)
+    save_cv_folds(cv_file_list, cv_path)
+    return cv_file_list
+
+
 def run_experiment(config: ExperimentConfig, folds=None, *,
                    smr_sweep: bool = False, verbose: bool = True,
                    resume: bool = True) -> list:
@@ -310,17 +326,7 @@ def run_experiment(config: ExperimentConfig, folds=None, *,
     # device use (SURVEY.md §2.5 comm-backend row).
     from ..parallel import initialize_from_env
     initialize_from_env()
-    with_noise = config.n_classes == 5
-    cv_path = os.path.join(config.data_root,
-                           "cv_info_5_class" if with_noise else "cv_info")
-    if os.path.exists(os.path.join(cv_path, "cv_file_list.pkl")):
-        cv_file_list = load_cv_folds(cv_path)
-    else:
-        from ..data import create_cv_folds, save_cv_folds
-        cv_file_list = create_cv_folds(config.data_root, cv=config.cv_folds,
-                                       with_noise=with_noise,
-                                       seed=config.seed)
-        save_cv_folds(cv_file_list, cv_path)
+    cv_file_list = load_or_create_folds(config)
 
     if not config.tr_steps:
         keep = set(class_names_for(config.n_classes))

@@ -79,6 +79,78 @@ def sample_arch(rng: np.random.Generator, space: str) -> dict:
             for k, v in search_space(space).items()}
 
 
+def run_vmapped_trials(base: ExperimentConfig, trials: list[dict],
+                       fold: int, verbose: bool = False) -> list[dict]:
+    """Train all shape-invariant ``trials`` in ONE vmapped program
+    (``train/multitrial.py``) sharing a single host batch stream — the
+    TPU-native replacement for the reference's sequential loss-weight
+    grid (``Hyperparameter_Selection.py:541-552``) and for seed-replicate
+    variance runs.  Host pipeline, single mesh device.
+    """
+    from ..data import BalancedBatcher, BatcherConfig, Featurizer
+    from ..data.folds import get_train_test_files
+    from ..models import get_model
+    from ..train import for_model
+    from ..train.multitrial import fit_multi
+    from .experiment import (_class_subset, class_names_for,
+                             load_or_create_folds, split_train_val)
+
+    cv_file_list = load_or_create_folds(base)
+    if not base.tr_steps:
+        keep = set(class_names_for(base.n_classes))
+        base = base.with_steps_from_durations(
+            {k: v for k, v in cv_file_list["total_duration"].items()
+             if k in keep})
+
+    preset_mels = base.feature_config().n_mels
+    mels_kw = {"n_mels": preset_mels} if preset_mels > 0 else {}
+    spec = get_model(base.model, n_classes=base.n_classes,
+                     dropout_rate=base.dropout_rate, **mels_kw,
+                     **(base.arch_kwargs or {}))
+    if spec.input_kind == "dual":
+        raise ValueError("vmapped trials do not support dual-tower models")
+    feat_cfg = base.feature_config()
+    cache_dir = (os.path.join(base.feature_dir, base.model,
+                              feat_cfg.feat_name)
+                 if base.feature_dir else None)
+    fz = Featurizer(feat_cfg, cache_dir=cache_dir)
+    train_files, _ = get_train_test_files(
+        cv_file_list, fold, class_names=class_names_for(base.n_classes))
+    train_files = _class_subset(train_files, base.n_classes)
+    tr_files, va_files = split_train_val(train_files, seed=base.seed)
+    bcfg = BatcherConfig(
+        batch_size=base.batch_size, patch_size=base.patch_size,
+        patch_shift=base.patch_shift, feat_name=feat_cfg.feat_name,
+        input_kind=base.input_kind, augment_noise=False, seed=base.seed)
+
+    def _label_map(it):
+        for x, labels in it:
+            yield (x, labels) if spec.mtl else (x, labels["3C"])
+
+    train_iter = _label_map(BalancedBatcher(fz, base.data_root, tr_files,
+                                            bcfg))
+    val_iter = _label_map(
+        BalancedBatcher(fz, base.data_root, va_files,
+                        dataclasses.replace(bcfg, seed=base.seed + 1)))
+    optimizer, _ = for_model(base.model,
+                             tr_steps=max(base.lr_schedule_steps
+                                          or base.tr_steps, 1))
+    sample_batch, _ = next(train_iter)
+    result = fit_multi(
+        spec.module, optimizer, train_iter, val_iter, mtl=spec.mtl,
+        trials=trials, heads=spec.heads or None, sample_batch=sample_batch,
+        epochs=base.epochs, steps_per_epoch=base.tr_steps,
+        val_steps=max(base.v_steps, 1), l2_reg=base.l2_reg,
+        base_seed=base.seed, verbose=verbose)
+    rows = []
+    for i, trial in enumerate(trials):
+        rows.append({"trial": i, **{k: str(v) for k, v in trial.items()},
+                     "val_loss": float(result.best_val_loss[i]),
+                     "accuracy": float(result.best_accuracy[i]),
+                     "best_epoch": int(result.best_epoch[i])})
+    return rows
+
+
 def _score(cfg: ExperimentConfig, fold: int, tag: str) -> dict:
     # Per-trial output dir: trials must not share (or resume from) each
     # other's checkpoints — their architectures differ.
@@ -95,7 +167,11 @@ def main(argv=None):
     p.add_argument("--model", default="Lemaire_et_al_MTL")
     p.add_argument("--features", default="")
     p.add_argument("--output", default="./results/tuning")
-    p.add_argument("--mode", choices=["grid", "search"], default="grid")
+    p.add_argument("--mode", choices=["grid", "search", "seeds"],
+                   default="grid")
+    p.add_argument("--vmap", action="store_true",
+                   help="train shape-invariant trials as one vmapped "
+                        "program (grid --param loss_weights only)")
     p.add_argument("--param", choices=list(GRID_RANGES), default="l_harm")
     p.add_argument("--space", choices=["arch", "mtl-heads"], default="arch")
     p.add_argument("--algo", choices=["random", "bayes"], default="random")
@@ -117,7 +193,21 @@ def main(argv=None):
         v_steps=args.v_steps, seed=args.seed)
 
     rows = []
-    if args.mode == "grid":
+    if args.mode == "seeds" or (args.mode == "grid" and args.vmap):
+        if args.mode == "seeds":
+            trials = [{"seed": args.seed + t} for t in range(args.trials)]
+        elif args.param == "loss_weights":
+            trials = [{"loss_weights": w}
+                      for w in GRID_RANGES["loss_weights"]]
+        else:
+            raise SystemExit("--vmap supports --param loss_weights only "
+                             "(other grid params change tensor shapes)")
+        rows = run_vmapped_trials(base, trials, args.fold)
+        for row in rows:
+            append_results(args.output, args.fold, row, suffix="Tuning")
+            print(row, flush=True)
+        best = min(rows, key=lambda r: r["val_loss"])
+    elif args.mode == "grid":
         for value in GRID_RANGES[args.param]:
             cfg = _apply_grid_value(base, args.param, value)
             score = _score(cfg, args.fold, f"{args.param}_{value if not isinstance(value, dict) else max(value, key=value.get)}")

@@ -1,0 +1,193 @@
+"""Vmapped multi-trial training (train/multitrial.py).
+
+Correctness bar: training N trials in one vmapped program must equal
+training them sequentially with `make_train_step` — same data, same rng
+keys — and the `lr_scale` hyperparameter must be *exactly* equivalent to
+rebuilding the optimizer at the scaled learning rate (update linearity,
+see the module docstring).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sm_hpss_mtl_tpu.models import get_model
+from sm_hpss_mtl_tpu.train import TrainState, for_model, make_train_step
+from sm_hpss_mtl_tpu.train.multitrial import (fit_multi, init_trials,
+                                              make_multi_train_step,
+                                              stack_hyperparams,
+                                              unstack_trial)
+from sm_hpss_mtl_tpu.train.optimizers import lemaire_optimizer
+
+RNG = jax.random.PRNGKey(7)
+HEADS = ("S", "M", "R", "3C")
+
+
+def _mtl_labels(bs):
+    n = 3 * bs
+    y3 = np.zeros((n, 3), np.float32)
+    y3[np.arange(n), np.repeat([0, 1, 2], bs)] = 1
+    return {
+        "S": jnp.asarray(np.repeat([0, 1, 0], bs).astype(np.float32)),
+        "M": jnp.asarray(np.repeat([1, 0, 0], bs).astype(np.float32)),
+        "R": jnp.asarray(np.concatenate([
+            np.tile([1, 0], (bs, 1)), np.tile([0, 1], (bs, 1)),
+            np.tile([0.5, 1], (bs, 1))]).astype(np.float32)),
+        "3C": jnp.asarray(y3),
+    }
+
+
+def _max_param_diff(a, b):
+    diffs = jax.tree_util.tree_map(
+        lambda x, y: float(np.max(np.abs(np.asarray(x) - np.asarray(y)))),
+        a, b)
+    return max(jax.tree_util.tree_leaves(diffs))
+
+
+@pytest.mark.quick
+def test_vmapped_matches_sequential_loss_weights():
+    """Two trials with different loss weights, trained vmapped on shared
+    batches, must match two sequential trainings leaf-for-leaf."""
+    spec = get_model("Lemaire_et_al_MTL", dropout_rate=0.1)
+    bs = 2
+    x = jax.random.normal(RNG, (3 * bs, 32, 20))
+    labels = _mtl_labels(bs)
+    opt, _ = for_model("Lemaire_et_al_MTL", tr_steps=50)
+    trials = [
+        {"loss_weights": {"S": 0.2, "M": 0.2, "R": 0.2, "3C": 0.4}},
+        {"loss_weights": {"S": 0.5, "M": 0.1, "R": 0.3, "3C": 0.1}},
+    ]
+    hyper = stack_hyperparams(trials, HEADS)
+    stacked = init_trials(spec.module, opt, x, seeds=[0, 1])
+    mstep = make_multi_train_step(spec.module, opt, mtl=True)
+
+    step_keys = [jax.random.split(jax.random.PRNGKey(100 + t), 2)
+                 for t in range(4)]
+    for subs in step_keys:
+        stacked, metrics = mstep(stacked, x, labels, subs, hyper)
+    assert np.isfinite(np.asarray(metrics["loss"])).all()
+
+    for i, trial in enumerate(trials):
+        state = TrainState.create(spec.module, opt, x, jax.random.PRNGKey(i))
+        step = make_train_step(spec.module, opt, mtl=True,
+                               loss_weights=trial["loss_weights"])
+        for subs in step_keys:
+            state, m = step(state, x, labels, subs[i])
+        got = unstack_trial(stacked.params, i)
+        assert _max_param_diff(got, state.params) < 1e-5
+        got_stats = unstack_trial(stacked.batch_stats, i)
+        assert _max_param_diff(got_stats, state.batch_stats) < 1e-5
+
+
+@pytest.mark.quick
+def test_lr_scale_is_exact_lr_rescaling():
+    """lr_scale=0.5 through the vmapped step == an optimizer built at
+    half the learning rate (SGD+momentum+clipnorm+decay path)."""
+    spec = get_model("Lemaire_et_al_MTL", dropout_rate=0.0)
+    bs = 2
+    x = jax.random.normal(RNG, (3 * bs, 32, 20))
+    labels = _mtl_labels(bs)
+    opt_full, _ = lemaire_optimizer(tr_steps=50, init_lr=0.002)
+    opt_half, _ = lemaire_optimizer(tr_steps=50, init_lr=0.001)
+
+    trials = [{"lr_scale": 0.5}]
+    hyper = stack_hyperparams(trials, HEADS)
+    stacked = init_trials(spec.module, opt_full, x, seeds=[3])
+    mstep = make_multi_train_step(spec.module, opt_full, mtl=True)
+    keys = [jax.random.split(jax.random.PRNGKey(200 + t), 1)
+            for t in range(5)]
+    for subs in keys:
+        stacked, _ = mstep(stacked, x, labels, subs, hyper)
+
+    state = TrainState.create(spec.module, opt_half, x, jax.random.PRNGKey(3))
+    step = make_train_step(spec.module, opt_half, mtl=True)
+    for subs in keys:
+        state, _ = step(state, x, labels, subs[0])
+    assert _max_param_diff(unstack_trial(stacked.params, 0),
+                           state.params) < 1e-6
+
+
+@pytest.mark.quick
+def test_lr_scale_exact_for_adam():
+    """Adam's update is linear in lr, so end-of-chain scaling must be
+    exact there too (Doukhan family: Adam).  Both runs go through the
+    vmapped step so gradient bit-noise is shared — Adam's mhat/sqrt(vhat)
+    normalization would otherwise amplify vmap-vs-plain float noise on
+    near-zero gradients into full +-lr sign flips."""
+    import optax
+    spec = get_model("Doukhan_et_al_MTL")
+    bs = 1
+    x = jax.random.normal(RNG, (3 * bs, 240, 68, 1))
+    labels = _mtl_labels(bs)
+    opt_full = optax.adam(1e-3, eps=1e-7)
+    opt_tenth = optax.adam(1e-4, eps=1e-7)
+    # One step only: (g*1e-3)*0.1 and g*1e-4 differ in the last ulp, and
+    # over multiple steps Adam's normalization amplifies that on
+    # near-zero gradients into +-lr sign flips (chaotic, not a bug).
+    keys = [jax.random.split(jax.random.PRNGKey(300), 1)]
+
+    def run(opt, scale):
+        hyper = stack_hyperparams([{"lr_scale": scale}], HEADS)
+        stacked = init_trials(spec.module, opt, x, seeds=[0])
+        mstep = make_multi_train_step(spec.module, opt, mtl=True)
+        for subs in keys:
+            stacked, _ = mstep(stacked, x, labels, subs, hyper)
+        return stacked
+
+    a = run(opt_full, 0.1)
+    b = run(opt_tenth, 1.0)
+    assert _max_param_diff(unstack_trial(a.params, 0),
+                           unstack_trial(b.params, 0)) < 1e-6
+
+
+@pytest.mark.quick
+def test_fit_multi_early_stop_and_best_restore():
+    """fit_multi tracks per-trial bests and restores best weights."""
+    spec = get_model("Lemaire_et_al_MTL", dropout_rate=0.1)
+    bs = 2
+    x = jax.random.normal(RNG, (3 * bs, 32, 20))
+    labels = _mtl_labels(bs)
+    opt, _ = for_model("Lemaire_et_al_MTL", tr_steps=20)
+
+    def stream():
+        while True:
+            yield x, labels
+
+    trials = [{"loss_weights": {"3C": 1.0}}, {"seed": 9}]
+    res = fit_multi(spec.module, opt, stream(), stream(), mtl=True,
+                    trials=trials, heads=HEADS, sample_batch=x,
+                    epochs=4, steps_per_epoch=2, val_steps=1,
+                    patience=2, verbose=False)
+    assert res.n_trials == 2
+    assert np.isfinite(res.best_val_loss).all()
+    assert (res.best_epoch >= 0).all()
+    assert res.best_accuracy.shape == (2,)
+    # Stacked state still has the trial axis.
+    leaf = jax.tree_util.tree_leaves(res.state.params)[0]
+    assert leaf.shape[0] == 2
+    # History rows carry per-trial arrays.
+    assert res.history[0]["val_loss"].shape == (2,)
+
+
+def test_tune_cli_vmapped_grid(tmp_path):
+    """CLI: --vmap trains the whole loss-weight grid in one program;
+    --mode seeds trains seed replicates."""
+    from sm_hpss_mtl_tpu.cli import tune
+    from sm_hpss_mtl_tpu.data import make_toy_musan
+    root = make_toy_musan(str(tmp_path / "corpus"), n_per_class=6,
+                          duration_s=2.0)
+    common = ["--data", root, "--output", str(tmp_path / "out"),
+              "--epochs", "1", "--tr-steps", "2", "--v-steps", "1",
+              "--batch-size", "2", "--patch-size", "16"]
+    rows, best = tune.main(["--mode", "grid", "--param", "loss_weights",
+                            "--vmap"] + common)
+    assert len(rows) == 4
+    assert all(np.isfinite(r["val_loss"]) for r in rows)
+    assert best in rows
+
+    rows, best = tune.main(["--mode", "seeds", "--trials", "2"] + common)
+    assert len(rows) == 2
+    # Different seeds -> different initializations -> different losses.
+    assert rows[0]["val_loss"] != rows[1]["val_loss"]
