@@ -80,7 +80,8 @@ def sample_arch(rng: np.random.Generator, space: str) -> dict:
 
 
 def run_vmapped_trials(base: ExperimentConfig, trials: list[dict],
-                       fold: int, verbose: bool = False) -> list[dict]:
+                       fold: int, verbose: bool = False,
+                       mesh=None) -> list[dict]:
     """Train all shape-invariant ``trials`` in ONE vmapped program
     (``train/multitrial.py``) sharing a single host batch stream — the
     TPU-native replacement for the reference's sequential loss-weight
@@ -141,7 +142,7 @@ def run_vmapped_trials(base: ExperimentConfig, trials: list[dict],
         trials=trials, heads=spec.heads or None, sample_batch=sample_batch,
         epochs=base.epochs, steps_per_epoch=base.tr_steps,
         val_steps=max(base.v_steps, 1), l2_reg=base.l2_reg,
-        base_seed=base.seed, verbose=verbose)
+        base_seed=base.seed, mesh=mesh, verbose=verbose)
     rows = []
     for i, trial in enumerate(trials):
         rows.append({"trial": i, **{k: str(v) for k, v in trial.items()},
@@ -172,6 +173,10 @@ def main(argv=None):
     p.add_argument("--vmap", action="store_true",
                    help="train shape-invariant trials as one vmapped "
                         "program (grid --param loss_weights only)")
+    p.add_argument("--shard-trials", action="store_true",
+                   help="with --vmap/--mode seeds: shard the trial axis "
+                        "over all devices (trial count must divide the "
+                        "device count)")
     p.add_argument("--param", choices=list(GRID_RANGES), default="l_harm")
     p.add_argument("--space", choices=["arch", "mtl-heads"], default="arch")
     p.add_argument("--algo", choices=["random", "bayes"], default="random")
@@ -202,7 +207,11 @@ def main(argv=None):
         else:
             raise SystemExit("--vmap supports --param loss_weights only "
                              "(other grid params change tensor shapes)")
-        rows = run_vmapped_trials(base, trials, args.fold)
+        mesh = None
+        if args.shard_trials:
+            from ..parallel.mesh import make_mesh
+            mesh = make_mesh()
+        rows = run_vmapped_trials(base, trials, args.fold, mesh=mesh)
         for row in rows:
             append_results(args.output, args.fold, row, suffix="Tuning")
             print(row, flush=True)

@@ -174,7 +174,7 @@ def fit_multi(model, optimizer, train_iter, val_iter, *, mtl: bool,
               augment_noise: bool = False, l2_reg: float = 0.0,
               base_seed: int = 0,
               patience: int = 5, min_delta: float = 0.01,
-              verbose: bool = True) -> MultiFitResult:
+              mesh=None, verbose: bool = True) -> MultiFitResult:
     """Train all ``trials`` simultaneously on a shared batch stream.
 
     Early stopping is joint: training stops once EVERY trial has gone
@@ -182,16 +182,52 @@ def fit_multi(model, optimizer, train_iter, val_iter, *, mtl: bool,
     (each trial's best epoch is tracked individually, mirroring the
     reference's per-run ``EarlyStopping``,
     ``Proposed_Work_Results.py:275-312``).
+
+    ``mesh``: shard the TRIAL axis over the mesh's 'data' axis — tuner
+    parallelism: with T trials on D devices each device trains T/D
+    trials, no cross-device communication (the trials are independent;
+    batches are replicated).  ``len(trials)`` must divide evenly.
     """
     import time as _time
     n = len(trials)
     hyper = stack_hyperparams(trials, heads)
     seeds = [int(t.get("seed", base_seed)) for t in trials]
     state = init_trials(model, optimizer, sample_batch, seeds)
+
     train_step = make_multi_train_step(model, optimizer, mtl=mtl,
                                        augment_noise=augment_noise,
                                        l2_reg=l2_reg)
     eval_step = make_multi_eval_step(model, mtl=mtl)
+
+    _put_trial = _put_shared = lambda x: x  # noqa: E731
+    if mesh is not None:
+        n_data = mesh.shape["data"]
+        if n % n_data:
+            raise ValueError(f"{n} trials do not shard over {n_data} "
+                             "devices; pad the trial list")
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        t, r = P("data"), P()
+        # shard_map, not GSPMD sharding annotations: each device runs the
+        # whole (un-partitioned) vmapped step on its local trial shard —
+        # the trials are independent, so there is no communication to
+        # insert, and the SPMD partitioner never sees the vmapped
+        # batched-kernel convolutions (whose grouped-conv lowering it
+        # miscompiles: two stacked vmapped convs with the kernel batch
+        # axis sharded return wrong values on the CPU backend —
+        # reproduced 2026-08, see tests/test_multitrial.py).
+        train_step = jax.jit(shard_map(
+            train_step, mesh=mesh, in_specs=(t, r, r, t, t),
+            out_specs=(t, t), check_vma=False))
+        eval_step = jax.jit(shard_map(
+            eval_step, mesh=mesh, in_specs=(t, r, r, t), out_specs=t,
+            check_vma=False))
+        tshard = NamedSharding(mesh, t)
+        rep = NamedSharding(mesh, r)
+        state = jax.device_put(state, tshard)
+        hyper = jax.device_put(hyper, tshard)
+        _put_trial = lambda x: jax.device_put(x, tshard)  # noqa: E731
+        _put_shared = lambda x: jax.device_put(x, rep)  # noqa: E731
 
     rng = jax.random.PRNGKey(base_seed)
     result = MultiFitResult(state=state, n_trials=n,
@@ -206,13 +242,15 @@ def fit_multi(model, optimizer, train_iter, val_iter, *, mtl: bool,
         tr_loss = []
         for _ in range(steps_per_epoch):
             batch, labels = next(train_iter)
+            batch, labels = _put_shared(batch), _put_shared(labels)
             rng, sub = jax.random.split(rng)
-            subs = jax.random.split(sub, n)
+            subs = _put_trial(jax.random.split(sub, n))
             state, metrics = train_step(state, batch, labels, subs, hyper)
             tr_loss.append(np.asarray(metrics["loss"]))
         va_rows = []
         for _ in range(val_steps):
             batch, labels = next(val_iter)
+            batch, labels = _put_shared(batch), _put_shared(labels)
             va_rows.append(eval_step(state, batch, labels, hyper))
         val_loss = np.mean([np.asarray(r["loss"]) for r in va_rows], axis=0)
         val_acc = np.mean([np.asarray(r["accuracy"]) for r in va_rows],

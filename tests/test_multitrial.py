@@ -171,6 +171,65 @@ def test_fit_multi_early_stop_and_best_restore():
     assert res.history[0]["val_loss"].shape == (2,)
 
 
+@pytest.mark.quick
+def test_trial_sharding_matches_unsharded():
+    """fit_multi(mesh=...) shards the trial axis over devices; results
+    must match the unsharded run (trials are independent)."""
+    from sm_hpss_mtl_tpu.parallel.mesh import make_mesh
+    spec = get_model("Lemaire_et_al_MTL", dropout_rate=0.0)
+    bs = 2
+    x = jax.random.normal(RNG, (3 * bs, 32, 20))
+    labels = _mtl_labels(bs)
+    opt, _ = for_model("Lemaire_et_al_MTL", tr_steps=20)
+
+    def stream():
+        while True:
+            yield x, labels
+
+    trials = [{"seed": s} for s in range(4)]
+    kw = dict(mtl=True, trials=trials, heads=HEADS, sample_batch=x,
+              epochs=2, steps_per_epoch=2, val_steps=1, verbose=False)
+    mesh = make_mesh(n_data=4, devices=jax.devices()[:4])
+    sharded = fit_multi(spec.module, opt, stream(), stream(), mesh=mesh,
+                        **kw)
+    plain = fit_multi(spec.module, opt, stream(), stream(), **kw)
+    np.testing.assert_allclose(sharded.best_val_loss, plain.best_val_loss,
+                               rtol=1e-5)
+    # The trial axis really is distributed across devices.
+    leaf = jax.tree_util.tree_leaves(sharded.state.opt_state)[0]
+    if hasattr(leaf, "sharding"):
+        assert len(leaf.sharding.device_set) == 4
+
+
+@pytest.mark.xfail(strict=False, reason=
+    "XLA GSPMD miscompiles stacked vmapped-kernel (grouped) convs when "
+    "the kernel batch axis is sharded (CPU backend, jax 0.8 era): two "
+    "convs in sequence return wrong values. fit_multi uses shard_map "
+    "instead, which sidesteps the partitioner. If this starts passing, "
+    "the bug is fixed upstream and the GSPMD path is usable again.")
+def test_gspmd_sharded_vmapped_conv_stack():
+    import flax.linen as nn
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from sm_hpss_mtl_tpu.parallel.mesh import make_mesh
+
+    class TwoConv(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            y = nn.Conv(32, (3,), padding="SAME")(x)
+            return nn.Conv(32, (1,), padding="SAME")(y)
+
+    m = TwoConv()
+    x = jax.random.normal(jax.random.PRNGKey(1), (6, 32, 32))
+    keys = jnp.stack([jax.random.PRNGKey(i) for i in range(4)])
+    vs = jax.vmap(lambda k: m.init({"params": k}, x))(keys)
+    vf = jax.jit(jax.vmap(m.apply, in_axes=(0, None)))
+    o1 = vf(vs, x)
+    mesh = make_mesh(n_data=4, devices=jax.devices()[:4])
+    o2 = vf(jax.device_put(vs, NamedSharding(mesh, P("data"))),
+            jax.device_put(x, NamedSharding(mesh, P())))
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
+
+
 def test_tune_cli_vmapped_grid(tmp_path):
     """CLI: --vmap trains the whole loss-weight grid in one program;
     --mode seeds trains seed replicates."""
