@@ -79,6 +79,9 @@ def main(argv=None):
     ap.add_argument("--epochs", type=int, default=15)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--arms", nargs="*", default=list(ARMS))
+    ap.add_argument("--key-suffix", default="",
+                    help="suffix for report arm keys (e.g. '_tpu'), so the "
+                         "same arm run on another backend doesn't overwrite")
     args = ap.parse_args(argv)
 
     if not os.path.exists(os.path.join(args.root, "music")):
@@ -86,20 +89,33 @@ def main(argv=None):
         from sm_hpss_mtl_tpu.data import make_toy_musan
         make_toy_musan(args.root, n_per_class=24, duration_s=4.0, seed=7)
 
-    report = {"corpus": "toy 24/class x 4 s (seed 7)",
-              "settings": {"epochs": args.epochs, "batch_size": 8,
-                           "patch": "32/16", "tr_steps": 20,
-                           "seed": args.seed},
-              "arms": {}}
+    # Merge into an existing report so arms can be (re)run per backend —
+    # the host/device quality arms run on the CPU mesh; the
+    # bf16x3-vs-highest precision arms need the real TPU.
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            report = json.load(f)
+        report.setdefault("arms", {})
+    else:
+        report = {"corpus": "toy 24/class x 4 s (seed 7)",
+                  "settings": {"epochs": args.epochs, "batch_size": 8,
+                               "patch": "32/16", "tr_steps": 20,
+                               "seed": args.seed},
+                  "arms": {}}
+    sys.path.insert(0, REPO)
+    import jax
+    backend = jax.default_backend()
     for name in args.arms:
-        folds = run_arm(name, ARMS[name], args.root, args.work,
+        key = name + args.key_suffix
+        folds = run_arm(key, ARMS[name], args.root, args.work,
                         args.epochs, args.seed)
         accs = [f["accuracy"] for f in folds if f["accuracy"] is not None]
-        report["arms"][name] = {
+        report["arms"][key] = {
             "folds": folds,
+            "backend": backend,
             "mean_accuracy": round(sum(accs) / len(accs), 4) if accs else None,
         }
-        print(name, "->", report["arms"][name]["mean_accuracy"],
+        print(key, "->", report["arms"][key]["mean_accuracy"],
               [f["accuracy"] for f in folds], flush=True)
         with open(args.out, "w") as f:
             json.dump(report, f, indent=1)

@@ -1,4 +1,4 @@
-"""Per-model step-time profiler (VERDICT r1 weak #4).
+"""Per-model step-time profiler (VERDICT r1 weak #4, r2 weak #6).
 
 Times, on the real chip with the tunnel-honest ``time_op``:
 
@@ -7,9 +7,15 @@ Times, on the real chip with the tunnel-honest ``time_op``:
   * the forward pass alone,
   * isolated sub-blocks (conv trunk / LRN / dense stack) for the CNNs,
 
-and reports XLA's cost analysis (FLOPs) so achieved FLOP/s vs the v5e
-roofline tells whether a step time is a lowering problem or an honest
-roofline.  Writes one JSON with everything.
+and reports XLA's cost analysis (FLOPs and bytes accessed) so achieved
+FLOP/s and achieved HBM bandwidth vs the v5e peaks tell whether a step
+time is a lowering problem or an honest roofline.  Writes one JSON with
+everything.
+
+Every model is measured in its OWN subprocess (shared persistent
+compile cache): sub-ms programs measure up to 10x slower in a process
+holding many compiled programs (NOTES.md r3 — the old in-process run
+reported the Lemaire step at 3.05 ms vs 0.26 ms isolated).
 
     python tools/profile_models.py --out PROFILE_models.json
 """
@@ -17,9 +23,11 @@ roofline.  Writes one JSON with everything.
 import argparse
 import json
 import os
+import subprocess
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 import numpy as np
 
@@ -133,49 +141,84 @@ def lrn_block(x):
     return local_response_normalization(x)
 
 
-def main(argv=None):
-    p = argparse.ArgumentParser()
-    p.add_argument("--out", default="PROFILE_models.json")
-    args = p.parse_args(argv)
+def model_row(name):
     rng = jax.random.PRNGKey(0)
     labels = mtl_labels(48)
-    report = {"backend": jax.default_backend(), "models": {}}
+    shape = CASES[name]
+    x = jax.random.normal(rng, shape, jnp.float32)
+    # Zoo defaults = reference geometry (Jang MTL keeps its internal
+    # 120-band mel-scale layer regardless of the raw-spec features).
+    spec = get_model(name)
+    t_step, fl_step, by_step = time_train_step(name, spec, x, labels, rng)
+    t_fwd, fl_fwd = time_forward(spec, x, rng)
+    spec16 = get_model(name, dtype=jnp.bfloat16)
+    t16, fl16, by16 = time_train_step(name, spec16, x, labels, rng)
+    gbps = by_step / t_step / 1e9
+    return {
+        "input": list(shape),
+        "train_step_ms": round(t_step * 1e3, 3),
+        "train_step_gflops": round(fl_step / 1e9, 2),
+        "train_step_tflops_per_s": round(fl_step / t_step / 1e12, 2),
+        "train_step_bytes_gb": round(by_step / 1e9, 3),
+        "train_step_achieved_gbps": round(gbps, 1),
+        "train_step_hbm_frac": round(gbps / V5E_HBM_GBPS, 3),
+        "train_step_bf16_ms": round(t16 * 1e3, 3),
+        "train_step_bf16_achieved_gbps": round(by16 / t16 / 1e9, 1),
+        "forward_ms": round(t_fwd * 1e3, 3),
+        "forward_gflops": round(fl_fwd / 1e9, 2),
+        "forward_tflops_per_s": round(fl_fwd / t_fwd / 1e12, 2),
+    }
 
-    for name, shape in CASES.items():
-        x = jax.random.normal(rng, shape, jnp.float32)
-        # Zoo defaults = reference geometry (Jang MTL keeps its internal
-        # 120-band mel-scale layer regardless of the raw-spec features).
-        spec = get_model(name)
-        t_step, fl_step, by_step = time_train_step(name, spec, x, labels,
-                                                   rng)
-        t_fwd, fl_fwd = time_forward(spec, x, rng)
-        spec16 = get_model(name, dtype=jnp.bfloat16)
-        t16, fl16, by16 = time_train_step(name, spec16, x, labels, rng)
-        gbps = by_step / t_step / 1e9
-        row = {
-            "input": list(shape),
-            "train_step_ms": round(t_step * 1e3, 3),
-            "train_step_gflops": round(fl_step / 1e9, 2),
-            "train_step_tflops_per_s": round(fl_step / t_step / 1e12, 2),
-            "train_step_bytes_gb": round(by_step / 1e9, 3),
-            "train_step_achieved_gbps": round(gbps, 1),
-            "train_step_hbm_frac": round(gbps / V5E_HBM_GBPS, 3),
-            "train_step_bf16_ms": round(t16 * 1e3, 3),
-            "train_step_bf16_achieved_gbps": round(by16 / t16 / 1e9, 1),
-            "forward_ms": round(t_fwd * 1e3, 3),
-            "forward_gflops": round(fl_fwd / 1e9, 2),
-            "forward_tflops_per_s": round(fl_fwd / t_fwd / 1e12, 2),
-        }
-        report["models"][name] = row
-        print(name, json.dumps(row), flush=True)
 
-    # Isolated LRN at Papakostas' two call sites.
+def lrn_rows():
+    rng = jax.random.PRNGKey(0)
+    rows = {}
     for tag, shape in (("lrn_c1", (48, 199, 32, 96)),
                        ("lrn_c2", (48, 49, 7, 384))):
         x = jax.random.normal(rng, shape, jnp.float32)
         t, fl = time_block(lrn_block, x)
-        report[tag] = {"shape": list(shape), "ms": round(t * 1e3, 3)}
-        print(tag, report[tag], flush=True)
+        rows[tag] = {"shape": list(shape), "ms": round(t * 1e3, 3)}
+    return rows
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="PROFILE_models.json")
+    p.add_argument("--jax-cache", default="/tmp/profile_jaxcache")
+    p.add_argument("--child", default=None,
+                   help="internal: profile one model (or 'lrn') and print "
+                        "its JSON row")
+    args = p.parse_args(argv)
+
+    if args.jax_cache:
+        jax.config.update("jax_compilation_cache_dir", args.jax_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    if args.child:
+        row = lrn_rows() if args.child == "lrn" else model_row(args.child)
+        print(json.dumps({"child": args.child, "row": row}))
+        return
+
+    report = {"backend": jax.default_backend(), "models": {},
+              "methodology": "each model profiled in its own subprocess "
+                             "(resident-program contamination, NOTES r3); "
+                             "time_op chained-iteration differencing"}
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    for child in list(CASES) + ["lrn"]:
+        cmd = [sys.executable, os.path.abspath(__file__), "--child", child,
+               "--jax-cache", args.jax_cache]
+        proc = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
+                              text=True, timeout=1800)
+        if proc.returncode != 0:
+            raise RuntimeError(f"child {child} failed\n{proc.stdout[-2000:]}"
+                               f"\n{proc.stderr[-2000:]}")
+        row = json.loads(proc.stdout.strip().splitlines()[-1])["row"]
+        if child == "lrn":
+            report.update(row)
+        else:
+            report["models"][child] = row
+        print(child, json.dumps(row), flush=True)
 
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
