@@ -73,31 +73,3 @@ def test_cpu_fallback_matches_oracle(rng):
     gH, gP = ref.hpss(S, 7, 5)
     np.testing.assert_allclose(np.asarray(H), gH, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(P), gP, rtol=1e-5, atol=1e-6)
-
-
-def test_shared_median_ext_both_axes(rng):
-    """ops.median2's extended-input form matches the oracle on both the
-    lane (-1) and sublane (-2) axis orientations (the two layouts the
-    Pallas-kernel experiments used; see median2.py docstring)."""
-    from sm_hpss_mtl_tpu.ops.median2 import sliding_median_ext
-    w, out_len = 7, 40
-    x = rng.standard_normal((3, 23, out_len + w - 1)).astype(np.float32)
-    want = np.median(np.stack([x[..., k:k + out_len] for k in range(w)]),
-                     axis=0)
-    got1 = np.asarray(sliding_median_ext(jnp.asarray(x), w, out_len,
-                                         axis=-1))
-    np.testing.assert_allclose(got1, want, atol=1e-7)
-    xt = np.swapaxes(x, -1, -2)
-    got2 = np.asarray(sliding_median_ext(jnp.asarray(xt), w, out_len,
-                                         axis=-2))
-    np.testing.assert_allclose(np.swapaxes(got2, -1, -2), want, atol=1e-7)
-
-
-def test_median2_matches_oracle(rng):
-    from sm_hpss_mtl_tpu.ops.median2 import sliding_median_shared
-    from sm_hpss_mtl_tpu.ops.hpss import _sliding_median
-    x = rng.standard_normal((3, 17, 50)).astype(np.float32)
-    for w in (3, 11, 21):
-        got = np.asarray(sliding_median_shared(jnp.asarray(x), w))
-        want = np.asarray(_sliding_median(jnp.asarray(x), w, axis=2))
-        np.testing.assert_allclose(got, want, atol=1e-6)
