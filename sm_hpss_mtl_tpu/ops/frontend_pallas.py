@@ -226,11 +226,12 @@ def _audio_tiles(y: jax.Array, *, T: int, tile_t: int, hop: int, J: int,
     jax.jit,
     static_argnames=("n_fft", "win_length", "hop_length", "l_harm",
                      "l_perc", "power", "tile_t", "dft_precision",
-                     "halo_in_audio", "interpret"))
+                     "halo_in_audio", "interpret", "dim_semantics"))
 def _frontend_pallas(y: jax.Array, M, *, n_fft, win_length,
                      hop_length, l_harm, l_perc, power, tile_t,
                      dft_precision="bf16x3", halo_in_audio=False,
-                     edge_flags=None, interpret=False):
+                     edge_flags=None, interpret=False,
+                     dim_semantics=None):
     """Run the fused kernel.  ``M`` is the ``(F, n_mels)`` mel basis for
     the mel variant, or None for full-resolution masked magnitudes.
 
@@ -306,6 +307,9 @@ def _frontend_pallas(y: jax.Array, M, *, n_fft, win_length,
             bytes_accessed=(n_sb * hop_length + 2 * tile_t * n_out) * 4
             * B * nT,
             transcendentals=0),
+        compiler_params=(pltpu.CompilerParams(
+            dimension_semantics=dim_semantics)
+            if dim_semantics is not None else None),
         interpret=interpret,
     )(*inputs)
 
