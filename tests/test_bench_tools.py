@@ -1,0 +1,67 @@
+"""Smoke tests for the benchmark tools' subprocess child modes.
+
+The round-3 measurement methodology runs every device leg / model
+profile in its own single-program subprocess (resident-program
+contamination, NOTES.md).  These tests exercise the child entry points
+in-process on the CPU mesh so the plumbing (corpus setup, batcher
+construction, leg selection, JSON row format) can't bitrot between TPU
+runs.  Times are meaningless on CPU; only structure is asserted.
+"""
+
+import json
+import sys
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def bench_corpus(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("pipe_bench"))
+    sys.path.insert(0, "/root/repo")
+    from tools.bench_pipeline import ensure_corpus
+    files = ensure_corpus(root)
+    assert set(files) == {"music", "speech", "speech+music"}
+    return root
+
+
+def test_bench_pipeline_host_leg(bench_corpus, capsys):
+    from tools.bench_pipeline import run_child_leg
+    run_child_leg("host_step", bench_corpus, jax_cache=None)
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["leg"] == "host_step"
+    assert row["ms"] > 0
+
+
+def test_bench_pipeline_fused_leg(bench_corpus, capsys):
+    from tools.bench_pipeline import run_child_leg
+    run_child_leg("fused_Lemaire_et_al_MTL", bench_corpus, jax_cache=None)
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["leg"] == "fused_Lemaire_et_al_MTL"
+    assert row["ms"] > 0
+
+
+def test_bench_pipeline_host_batchers(bench_corpus):
+    from tools.bench_pipeline import (host_ms_per_batch, make_crop_batcher,
+                                      make_host_batcher)
+    it_hot, cfg = make_host_batcher(bench_corpus, _files(bench_corpus))
+    it_cold, _ = make_host_batcher(bench_corpus, _files(bench_corpus),
+                                   patch_cache_mb=0)
+    crop = iter(make_crop_batcher(bench_corpus, _files(bench_corpus), cfg))
+    for it in (it_hot, it_cold, crop):
+        assert host_ms_per_batch(it, n=2) > 0
+
+
+def _files(root):
+    from tools.bench_pipeline import ensure_corpus
+    return ensure_corpus(root)
+
+
+def test_profile_models_child_row():
+    from tools.profile_models import model_row
+    row = model_row("Lemaire_et_al_MTL")
+    for key in ("train_step_ms", "train_step_gflops",
+                "train_step_bytes_gb", "train_step_achieved_gbps",
+                "train_step_hbm_frac", "forward_ms"):
+        assert key in row, key
+    assert row["train_step_ms"] > 0
+    assert row["train_step_gflops"] > 0
