@@ -14,6 +14,23 @@ import sys
 import pytest
 
 
+@pytest.fixture(autouse=True)
+def fast_time_op(monkeypatch):
+    """CPU timings are meaningless here; run each leg's program once for
+    validity and skip the multi-chain timing loops."""
+    from sm_hpss_mtl_tpu.utils import benchmarking
+
+    def stub(fn, carry, **kw):
+        import jax
+        jax.block_until_ready(fn(carry))
+        return 1e-3
+    monkeypatch.setattr(benchmarking, "time_op", stub)
+    # profile_models binds time_op at import; patch that binding too.
+    sys.path.insert(0, "/root/repo")
+    import tools.profile_models as pm
+    monkeypatch.setattr(pm, "time_op", stub)
+
+
 @pytest.fixture(scope="module")
 def bench_corpus(tmp_path_factory):
     root = str(tmp_path_factory.mktemp("pipe_bench"))
