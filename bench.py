@@ -87,12 +87,19 @@ def main():
     def note(msg):
         print(msg, file=sys.stderr, flush=True)
 
-    rounds, rounds_hi = [], []
+    rounds, rounds_hi, sustained = [], [], []
     for r in range(2):
         rounds.append(time_op(step, audio, iters=(3, 13), repeats=4))
         note(f"round {r} bf16x3: {audio_hours / rounds[-1]:.1f} h/s")
         rounds_hi.append(time_op(step_hi, audio, iters=(3, 13), repeats=4))
         note(f"round {r} highest: {audio_hours / rounds_hi[-1]:.1f} h/s")
+        # Weather gauge: the drift-robust median-of-adjacent-pairs stat
+        # (sustained throughput under the tunnel's current mix of
+        # fast/slow states) alongside the best-observed headline.
+        sustained.append(time_op(step, audio, iters=(3, 13), repeats=4,
+                                 stat="median"))
+        note(f"round {r} bf16x3 sustained: "
+             f"{audio_hours / sustained[-1]:.1f} h/s")
     throughput = audio_hours / min(rounds)
     throughput_hi = audio_hours / min(rounds_hi)
 
@@ -109,6 +116,10 @@ def main():
         "value_dft_highest": round(throughput_hi, 2),
         "rounds_dft_highest": [round(audio_hours / t, 2)
                                for t in rounds_hi],
+        "value_sustained_median": round(
+            audio_hours / (sorted(sustained)[len(sustained) // 2]), 2),
+        "rounds_sustained": [round(audio_hours / t, 2)
+                             for t in sustained],
     }))
 
 
