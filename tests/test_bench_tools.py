@@ -82,3 +82,25 @@ def test_profile_models_child_row():
         assert key in row, key
     assert row["train_step_ms"] > 0
     assert row["train_step_gflops"] > 0
+
+
+@pytest.mark.quick
+def test_time_op_median_stat():
+    """The drift-robust stat='median' path returns a positive per-iter
+    time consistent with stat='min' on a deterministic op."""
+    import jax.numpy as jnp
+    from sm_hpss_mtl_tpu.utils import benchmarking
+    import importlib
+    importlib.reload(benchmarking)  # undo the autouse stub for this test
+
+    def step(x):
+        return jnp.tanh(x @ x) * 1.0001
+
+    x = jnp.eye(256, dtype=jnp.float32)
+    t_min = benchmarking.time_op(step, x, iters=(2, 10), repeats=3)
+    t_med = benchmarking.time_op(step, x, iters=(2, 10), repeats=3,
+                                 stat="median")
+    assert t_min > 0 and t_med > 0
+    # Same op, same machine: the two stats agree within an order of
+    # magnitude (min <= ~median by construction up to timer noise).
+    assert t_med < 50 * t_min and t_min < 50 * t_med
