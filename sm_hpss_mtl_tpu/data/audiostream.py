@@ -199,12 +199,18 @@ class AudioCropBatcher:
             start = int(self.rng.integers(0, n - self.L + 1))
             out[:] = audio[start:start + self.L]
             return
-        # Short clip: wrap-tile (the patching wrap rule, tools.pyx:29-38).
+        # Short clip: wrap-tile (the patching wrap rule, tools.pyx:29-38),
+        # rotated to a random phase — a fixed phase would make every crop
+        # of a short clip identical (no crop augmentation), which
+        # silently collapses training when ``min_crop_s`` exceeds the
+        # corpus clip length (observed: 0.82 -> 0.44 accuracy).
+        off = int(self.rng.integers(0, n))
         pos = 0
         while pos < self.L:
-            m = min(n, self.L - pos)
-            out[pos:pos + m] = audio[:m]
+            m = min(n - off, self.L - pos)
+            out[pos:pos + m] = audio[off:off + m]
             pos += m
+            off = 0 if off + m >= n else off + m
 
     def __iter__(self):
         return self

@@ -87,6 +87,28 @@ def test_crop_batcher_shapes_balance_and_labels(toy):
     assert np.isfinite(audio2).all()
 
 
+def test_short_clip_wrap_is_rotated(toy):
+    """Wrap-tiled crops of a short clip must vary across draws (random
+    rotation phase) and contain only samples of the source clip — a
+    fixed phase would kill crop augmentation whenever ``min_crop_s``
+    exceeds the corpus clip length."""
+    root, files = toy
+    cfg = FeatureConfig()
+    cache = AudioCache(cache_dir=None)
+    ab = AudioCropBatcher(cache, root, files, cfg, clips_per_class=1,
+                          n_patches_per_clip=8, patch_size=68, seed=0)
+    n = len(files["music"])
+    draws = [next(ab)[0][0].copy() for _ in range(max(4, 2 * n))]
+    # Same source file recurs across a full queue cycle; with rotation
+    # at least one pair of draws must differ.
+    diffs = sum(not np.array_equal(a, b)
+                for i, a in enumerate(draws) for b in draws[i + 1:])
+    assert diffs > 0
+    # Every crop is a rotation of a tiling: its sample multiset per
+    # period must come from the clip (finite, bounded like the source).
+    assert all(np.isfinite(d).all() for d in draws)
+
+
 def test_audio_eval_step_matches_patch_eval(toy):
     """Featurize-in-eval must equal eval on the separately featurized
     patches with broadcast labels."""
