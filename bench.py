@@ -18,6 +18,7 @@ meaningless.
 """
 
 import json
+import statistics
 import time
 
 import numpy as np
@@ -87,7 +88,19 @@ def main():
     def note(msg):
         print(msg, file=sys.stderr, flush=True)
 
+    # Geometry curve (VERDICT r3 next #2): the headline geometry
+    # (B16 x 30 s = 64 grid cells) plus B32 x 30 s (128) and
+    # B16 x 120 s (256), so the report shows the scaling curve, not
+    # just the sweet spot.  All measured interleaved within each round.
+    geos = {"32x30": (32, 30.0), "16x120": (16, 120.0)}
+    geo_audio = {
+        name: (jnp.asarray(rng.standard_normal(
+                   (gb, int(gs * fs))).astype(np.float32)),
+               gb * gs / 3600.0)
+        for name, (gb, gs) in geos.items()}
+
     rounds, rounds_hi, sustained = [], [], []
+    geo_rounds = {name: {"min": [], "median": []} for name in geos}
     for r in range(2):
         rounds.append(time_op(step, audio, iters=(3, 13), repeats=4))
         note(f"round {r} bf16x3: {audio_hours / rounds[-1]:.1f} h/s")
@@ -100,6 +113,14 @@ def main():
                                  stat="median"))
         note(f"round {r} bf16x3 sustained: "
              f"{audio_hours / sustained[-1]:.1f} h/s")
+        for name, (ga, gh) in geo_audio.items():
+            geo_rounds[name]["min"].append(
+                gh / time_op(step, ga, iters=(3, 13), repeats=4))
+            geo_rounds[name]["median"].append(
+                gh / time_op(step, ga, iters=(3, 13), repeats=4,
+                             stat="median"))
+            note(f"round {r} {name}: {geo_rounds[name]['min'][-1]:.1f} h/s "
+                 f"(sustained {geo_rounds[name]['median'][-1]:.1f})")
     throughput = audio_hours / min(rounds)
     throughput_hi = audio_hours / min(rounds_hi)
 
@@ -117,9 +138,20 @@ def main():
         "rounds_dft_highest": [round(audio_hours / t, 2)
                                for t in rounds_hi],
         "value_sustained_median": round(
-            audio_hours / (sorted(sustained)[len(sustained) // 2]), 2),
+            audio_hours / statistics.median(sustained), 2),
         "rounds_sustained": [round(audio_hours / t, 2)
                              for t in sustained],
+        "geometries": {
+            "16x30": {"value": round(throughput, 2),
+                      "value_sustained_median": round(
+                          audio_hours / statistics.median(sustained), 2)},
+            **{name: {
+                "value": round(max(v["min"]), 2),
+                "value_sustained_median": round(
+                    statistics.median(v["median"]), 2),
+                "rounds": [round(x, 2) for x in v["min"]]}
+               for name, v in geo_rounds.items()},
+        },
     }))
 
 

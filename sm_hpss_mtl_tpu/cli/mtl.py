@@ -50,8 +50,12 @@ def build_parser(default_model: str = "Lemaire_et_al_MTL"):
                         "patch batching; 'auto' (default) picks device on "
                         "TPU, host elsewhere (quality parity: "
                         "AB_PIPELINE.json)")
-    p.add_argument("--clip-patches", type=int, default=4,
-                   help="device pipeline: patches per sampled clip crop")
+    p.add_argument("--clip-patches", type=int, default=0,
+                   help="device pipeline: patches per sampled clip crop; "
+                        "0 (default) adapts to corpus size — 1 when the "
+                        "smallest training class has <8*batch clips "
+                        "(small corpora need per-step clip diversity), "
+                        "else 4")
     p.add_argument("--feat-name", default=None,
                    help="override the model preset's featName (the "
                         "reference sets featName freely in PARAMS, e.g. "

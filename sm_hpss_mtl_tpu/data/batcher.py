@@ -96,27 +96,6 @@ class _ClassStream:
         self.dbs.append(np.full((n,), np.nan if db is None else db))
         self.count += n
 
-    def take(self, n: int):
-        out_parts, db_parts = [], []
-        need = n
-        while need > 0:
-            arr, dbs = self.buf[0], self.dbs[0]
-            avail = arr.shape[0] - self.offset
-            k = min(avail, need)
-            out_parts.append(arr[self.offset:self.offset + k])
-            db_parts.append(dbs[self.offset:self.offset + k])
-            self.offset += k
-            need -= k
-            if self.offset == arr.shape[0]:
-                self.buf.pop(0)
-                self.dbs.pop(0)
-                self.offset = 0
-        self.count -= n
-        if len(out_parts) == 1:
-            return out_parts[0], db_parts[0]
-        return (np.concatenate(out_parts, axis=0),
-                np.concatenate(db_parts, axis=0))
-
     def take_into(self, out: np.ndarray) -> np.ndarray:
         """Consume ``len(out)`` patches directly into ``out`` (one copy —
         the take-then-concatenate path copied the whole batch twice).

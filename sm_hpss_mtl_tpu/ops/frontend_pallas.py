@@ -100,7 +100,8 @@ def _dft_block_basis(n_fft: int, win_length: int, hop: int, hp: int):
 # ---------------------------------------------------------------------------
 
 def _tile_masks(a_ref, d_ref, e_ref, mag_ref, *, n_fr, tile_t, F, Fpad,
-                hop, J, l_harm, l_perc, power, edge_fixes, dft_precision):
+                hop, J, l_harm, l_perc, power, edge_fixes, dft_precision,
+                stage="full"):
     """Shared kernel body: audio tile -> (mask_h, mask_p, s_center).
 
     ``e_ref`` is a (1, 2) int32 SMEM scalar: [mirror_left, mirror_right].
@@ -160,6 +161,13 @@ def _tile_masks(a_ref, d_ref, e_ref, mag_ref, *, n_fr, tile_t, F, Fpad,
                 mag_ref[r + 1 + m, :] = mag_ref[r - m, :]
 
     mag = mag_ref[...]
+    if stage == "no_median":
+        # Profiling hook (tools/bench_frontend.py): skip the median
+        # selection networks and mask arithmetic so (full - no_median)
+        # isolates the VPU median share of the kernel.  NOT a compute
+        # mode — output is mel(0.5*S) on both heads.
+        half = jnp.full((tile_t, F), 0.5, jnp.float32)
+        return half, half, mag[ht:ht + tile_t, hp:hp + F]
     harm = _apply_median_network(
         [mag[k:k + tile_t, hp:hp + F] for k in range(l_harm)], l_harm)
     perc = _apply_median_network(
@@ -226,12 +234,13 @@ def _audio_tiles(y: jax.Array, *, T: int, tile_t: int, hop: int, J: int,
     jax.jit,
     static_argnames=("n_fft", "win_length", "hop_length", "l_harm",
                      "l_perc", "power", "tile_t", "dft_precision",
-                     "halo_in_audio", "interpret", "dim_semantics"))
+                     "halo_in_audio", "interpret", "dim_semantics",
+                     "stage", "raw_out"))
 def _frontend_pallas(y: jax.Array, M, *, n_fft, win_length,
                      hop_length, l_harm, l_perc, power, tile_t,
                      dft_precision="bf16x3", halo_in_audio=False,
                      edge_flags=None, interpret=False,
-                     dim_semantics=None):
+                     dim_semantics=None, stage="full", raw_out=False):
     """Run the fused kernel.  ``M`` is the ``(F, n_mels)`` mel basis for
     the mel variant, or None for full-resolution masked magnitudes.
 
@@ -267,7 +276,8 @@ def _frontend_pallas(y: jax.Array, M, *, n_fft, win_length,
 
     kw = dict(n_fr=n_fr, tile_t=tile_t, F=F, Fpad=Fpad, hop=hop_length,
               J=J, l_harm=l_harm, l_perc=l_perc, power=power,
-              edge_fixes=tuple(edge_fixes), dft_precision=dft_precision)
+              edge_fixes=tuple(edge_fixes), dft_precision=dft_precision,
+              stage=stage)
 
     out_shape = jax.ShapeDtypeStruct((B, nT, tile_t, n_out), jnp.float32)
     grid = (B, nT)
@@ -312,6 +322,11 @@ def _frontend_pallas(y: jax.Array, M, *, n_fft, win_length,
             if dim_semantics is not None else None),
         interpret=interpret,
     )(*inputs)
+
+    if raw_out:
+        # Profiling hook (tools/bench_frontend.py): skip the untile
+        # reshape+transpose so its HBM cost can be measured separately.
+        return H, P
 
     def _untile(X):                                   # (B, nT, tile_t, m)
         X = X.reshape(B, nT * tile_t, n_out)[:, :T]

@@ -55,3 +55,22 @@ def restore_checkpoint(path: str, template: TrainState
 
 def checkpoint_exists(path: str) -> bool:
     return os.path.exists(os.path.join(os.path.abspath(path), "state"))
+
+
+def update_metadata(path: str, fields: dict) -> None:
+    """Merge ``fields`` into the checkpoint's ``metadata.json``.
+
+    Used by the experiment runner to stamp ``completed`` /
+    ``epochs_run`` after training finishes, so a later resume can tell a
+    finished fold from one whose process died mid-budget."""
+    import json
+    path = os.path.abspath(path)
+    os.makedirs(path, exist_ok=True)
+    meta_path = os.path.join(path, "metadata.json")
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    meta.update(fields)
+    with open(meta_path, "w") as f:
+        json.dump(meta, f, indent=2, default=str)

@@ -92,8 +92,14 @@ class ExperimentConfig:
     #: documented at data/audiostream.py:11-26.
     pipeline: str = "auto"
     #: device pipeline: patches per sampled clip crop (clips per class =
-    #: ceil(batch_size / clip_patches))
-    clip_patches: int = 4
+    #: ceil(batch_size / clip_patches)).  0 (default) = adaptive: 1 when
+    #: the smallest training class has fewer than 8*batch_size clips
+    #: (small corpora need maximal per-step clip diversity — at
+    #: clip_patches>1 the measured real-audio accuracy drops 0.797->0.719
+    #: with early-stop collapses, REAL_AUDIO.json tpu_device_pipeline),
+    #: else 4 (large corpora: fewer host crop slices per step, no
+    #: measured quality cost).
+    clip_patches: int = 0
     #: device pipeline: floor on the crop length in seconds — the crop-
     #: local standardization sees at least this much context while only
     #: clip_patches windows train.  0 (default) keeps the minimal
@@ -112,6 +118,11 @@ class ExperimentConfig:
     tr_steps: int = 0
     v_steps: int = 0
     ts_steps: int = 0
+    #: Cap on the generator-eval protocol's TS_STEPS (the reference's
+    #: ``model.evaluate(generator, steps=TS_STEPS)`` can derive thousands
+    #: of batches from corpus duration); 0 = uncapped.  The runner logs
+    #: whenever the cap binds.
+    max_eval_steps: int = 200
     #: Horizon for the Lemaire SGD ExponentialDecay (0 = tr_steps).  The
     #: reference ties decay_steps to 3*TR_STEPS, which collapses the lr
     #: within a few epochs when tr_steps is overridden to a tiny value

@@ -29,7 +29,12 @@ class FitResult:
     history: list = field(default_factory=list)
     best_val_loss: float = float("inf")
     best_epoch: int = -1
+    #: host CPU time, the reference's ``time.process_time`` semantics
+    #: (``Proposed_Work_Results.py:280-310``) — on TPU most step time is
+    #: device wall-clock this does NOT count, so ``wall_time`` is the
+    #: honest figure and ``training_time`` the parity one.
     training_time: float = 0.0
+    wall_time: float = 0.0
     stopped_early: bool = False
 
 
@@ -46,6 +51,7 @@ def fit(model, optimizer, train_iter, val_iter, *, mtl: bool,
         patience: int = 5, min_delta: float = 0.01,
         checkpoint_dir: str | None = None, csv_log: str | None = None,
         train_step=None, eval_step=None, sample_state_input=None,
+        initial_epoch: int = 0, initial_best: float = float("inf"),
         verbose: bool = True) -> FitResult:
     """Train with early stopping on val loss; restores best weights.
 
@@ -54,6 +60,14 @@ def fit(model, optimizer, train_iter, val_iter, *, mtl: bool,
     ``endtoend.make_audio_{train,eval}_step`` here, with
     ``sample_state_input`` the model-ready sample that initializes the
     state when the iterator yields raw audio instead of patches.
+
+    ``initial_epoch``/``initial_best`` continue an interrupted run for
+    the remaining budget (the reference's count-completed-epochs resume,
+    ``DAFx12_...py:534-545``): epoch numbering and the CSV log continue
+    where they left off, and checkpoints only overwrite the restored
+    best when val loss actually improves on ``initial_best``.  The
+    early-stopping wait counter restarts at zero, like the reference's
+    re-`fit` (patience measures epochs-since-best within ONE run).
     """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     if state is None:
@@ -71,15 +85,17 @@ def fit(model, optimizer, train_iter, val_iter, *, mtl: bool,
     if eval_step is None:
         eval_step = make_eval_step(model, mtl=mtl, loss_weights=loss_weights)
 
-    result = FitResult(state=state)
+    result = FitResult(state=state, best_val_loss=initial_best,
+                       best_epoch=initial_epoch - 1 if initial_epoch else -1)
     best_payload = None
     wait = 0
     t0 = time.process_time()
+    w0 = time.perf_counter()
 
     csv_writer = None
     csv_file = None
 
-    for epoch in range(epochs):
+    for epoch in range(initial_epoch, epochs):
         train_rows = []
         for _ in range(steps_per_epoch):
             batch, labels = next(train_iter)
@@ -102,9 +118,13 @@ def fit(model, optimizer, train_iter, val_iter, *, mtl: bool,
         if csv_log:
             if csv_writer is None:
                 os.makedirs(os.path.dirname(csv_log) or ".", exist_ok=True)
-                csv_file = open(csv_log, "w", newline="")
+                # Resumed runs append to the existing epoch log so the
+                # completed-epoch count survives further interruptions.
+                append = initial_epoch > 0 and os.path.exists(csv_log)
+                csv_file = open(csv_log, "a" if append else "w", newline="")
                 csv_writer = csv.DictWriter(csv_file, fieldnames=row.keys())
-                csv_writer.writeheader()
+                if not append:
+                    csv_writer.writeheader()
             csv_writer.writerow(row)
             csv_file.flush()
 
@@ -133,6 +153,7 @@ def fit(model, optimizer, train_iter, val_iter, *, mtl: bool,
         csv_file.close()
 
     result.training_time = time.process_time() - t0
+    result.wall_time = time.perf_counter() - w0
     if best_payload is not None:
         params, batch_stats = best_payload
         result.state = TrainState(params=params, batch_stats=batch_stats,

@@ -62,6 +62,109 @@ def test_baseline_single_task(toy_root, tmp_path):
     assert np.isfinite(results[0]["row"]["val_loss"])
 
 
+def test_resume_completes_interrupted_fold(toy_root, tmp_path):
+    """A fold whose process died mid-budget must resume for the
+    remaining epochs, not return under-trained weights as 'done'
+    (the reference counts completed epochs from its CSV log,
+    DAFx12_...py:534-545)."""
+    import csv
+    import dataclasses
+    import json
+
+    cfg = ExperimentConfig(
+        model="Lemaire_et_al_MTL", data_root=toy_root,
+        feature_dir=str(tmp_path / "features"),
+        output_dir=str(tmp_path / "results"),
+        epochs=2, batch_size=2, patch_size=16, patch_shift=16,
+        tr_steps=1, v_steps=1, augment_noise=False, seed=0)
+    out1 = run_experiment(cfg, folds=[0], verbose=False)[0]
+    assert len(out1["fit"].history) == 2
+    ckpt = os.path.join(out1["op_dir"], "fold0_ckpt")
+    meta_path = os.path.join(ckpt, "metadata.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    assert meta["completed"] and meta["epochs_run"] == 2
+    # Simulate a kill mid-budget: the completed stamp is only written
+    # after fit() returns, so an interrupted fold has checkpoint +
+    # partial epoch log but no stamp.
+    for k in ("completed", "epochs_run", "stopped_early"):
+        meta.pop(k, None)
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+
+    cfg4 = dataclasses.replace(cfg, epochs=4)
+    out2 = run_experiment(cfg4, folds=[0], verbose=False)[0]
+    # Trained exactly the remaining 2 epochs; the CSV log continues.
+    assert len(out2["fit"].history) == 2
+    log = os.path.join(out1["op_dir"], "fold0_log.csv")
+    with open(log) as f:
+        rows = list(csv.DictReader(f))
+    assert [int(r["epoch"]) for r in rows] == [0, 1, 2, 3]
+    with open(meta_path) as f:
+        meta2 = json.load(f)
+    assert meta2["completed"] and meta2["epochs_run"] == 4
+
+    # A finished fold keeps the fast path: third run trains nothing.
+    out3 = run_experiment(cfg4, folds=[0], verbose=False)[0]
+    assert len(out3["fit"].history) == 0
+
+
+def test_resume_status_replay():
+    """Legacy checkpoints (no completed stamp): the early-stopping rule
+    is replayed over the epoch log to tell finished from interrupted."""
+    from sm_hpss_mtl_tpu.cli.experiment import _resume_status
+
+    def write_log(path, losses):
+        import csv
+        with open(path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=["epoch", "loss", "val_loss"])
+            w.writeheader()
+            for i, v in enumerate(losses):
+                w.writerow({"epoch": i, "loss": v, "val_loss": v})
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        log = os.path.join(d, "log.csv")
+        # Interrupted: 2 of 10 epochs, still improving.
+        write_log(log, [1.0, 0.8])
+        assert _resume_status({"epoch": 1}, log, 10) == (False, 2)
+        # Early-stopped in a prior run: 5 non-improving epochs.
+        write_log(log, [1.0, 1.0, 1.0, 1.0, 1.0, 1.0])
+        finished, done = _resume_status({"epoch": 0}, log, 10)
+        assert finished and done == 6
+        # Full budget reached.
+        write_log(log, [1.0, 0.9])
+        assert _resume_status({"epoch": 1}, log, 2) == (True, 2)
+        # Completed stamp wins regardless of the log.
+        assert _resume_status({"completed": True, "epochs_run": 3},
+                              log, 10) == (True, 3)
+        # No log at all: fall back to the best-epoch metadata.
+        assert _resume_status({"epoch": 4},
+                              os.path.join(d, "none.csv"), 10) == (False, 5)
+
+
+def test_resolve_clip_patches_adaptive():
+    """clip_patches=0 adapts to corpus size: small classes get maximal
+    per-step clip diversity (the measured 0.797-vs-0.719 effect,
+    REAL_AUDIO.json), large corpora pack 4 patches per clip."""
+    from sm_hpss_mtl_tpu.cli.experiment import resolve_clip_patches
+
+    small = {c: [f"{c}{i}" for i in range(30)]
+             for c in ("music", "speech", "speech+music")}
+    large = {c: [f"{c}{i}" for i in range(300)]
+             for c in ("music", "speech", "speech+music")}
+    cfg = ExperimentConfig(batch_size=16)  # threshold 8*16 = 128
+    assert resolve_clip_patches(cfg, small) == 1
+    assert resolve_clip_patches(cfg, large) == 4
+    # One starved class is enough to force the diverse setting.
+    mixed = dict(large, speech=large["speech"][:50])
+    assert resolve_clip_patches(cfg, mixed) == 1
+    # Explicit values are always honored.
+    import dataclasses
+    assert resolve_clip_patches(
+        dataclasses.replace(cfg, clip_patches=2), small) == 2
+
+
 def test_hpss_resynth_cli(toy_root, tmp_path):
     from sm_hpss_mtl_tpu.cli import hpss_resynth
     sp = os.path.join(toy_root, "speech", "speech-toy-0000.wav")

@@ -113,6 +113,11 @@ def main(argv=None):
         report["arms"][key] = {
             "folds": folds,
             "backend": backend,
+            # Per-arm run settings: merged reports can mix invocations, so
+            # the top-level "settings" block only describes the original
+            # run — each arm records the settings it actually ran with.
+            "epochs": args.epochs,
+            "seed": args.seed,
             "mean_accuracy": round(sum(accs) / len(accs), 4) if accs else None,
         }
         print(key, "->", report["arms"][key]["mean_accuracy"],

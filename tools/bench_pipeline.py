@@ -262,7 +262,10 @@ def main(argv=None):
     for m in MTL_MODELS:
         report[f"device_steps_per_s_{m}"] = round(
             1e3 / max(report["device_host_ms"], report[f"fused_{m}_ms"]), 1)
-    report["speedup"] = report["speedup_cold"]
+    # No bare "speedup" key: earlier artifacts used it for the hot
+    # single-regime ratio, so redefining it to the cold regime would make
+    # cross-run comparisons silently compare different quantities.  The
+    # explicit speedup_hot / speedup_cold keys are the report.
 
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
