@@ -99,10 +99,22 @@ def _dft_block_basis(n_fft: int, win_length: int, hop: int, hp: int):
 # Kernel
 # ---------------------------------------------------------------------------
 
-def _tile_masks(a_ref, d_ref, e_ref, mag_ref, *, n_fr, tile_t, F, Fpad,
-                hop, J, l_harm, l_perc, power, edge_fixes, dft_precision,
-                stage="full"):
+def _tile_masks(c_ref, h_ref, d_ref, e_ref, a_scr, mag_ref, *, n_fr,
+                tile_t, F, Fpad, hop, J, l_harm, l_perc, power, edge_fixes,
+                dft_precision, stage="full"):
     """Shared kernel body: audio tile -> (mask_h, mask_p, s_center).
+
+    The audio window a tile needs overlaps its right neighbor by
+    ``2*ht + J - 1`` superblock rows.  Overlap is inexpressible as a
+    BlockSpec tiling, and materializing whole overlapped windows
+    XLA-side (the round-1..3 design) hit a fusion cliff growing
+    superlinearly with the grid — 0.05 / 1.1 / 5.0 ms of pure prep at
+    64 / 128 / 256 cells (NOTES r4 'before' probes).  So the window
+    arrives in two pieces: ``c_ref`` is the tile's NON-overlapping
+    ``(tile_t, hop)`` center block (standard pipelined BlockSpec) and
+    ``h_ref`` the tiny pre-stacked ``(tail_pad, hop)`` halo (~3% of the
+    audio, cheap to materialize); the kernel stitches them into the
+    ``a_scr`` VMEM scratch before the DFT.
 
     ``e_ref`` is a (1, 2) int32 SMEM scalar: [mirror_left, mirror_right].
     Both are 1 for a whole signal; the time-sharded caller
@@ -110,7 +122,9 @@ def _tile_masks(a_ref, d_ref, e_ref, mag_ref, *, n_fr, tile_t, F, Fpad,
     audio came from a ring neighbor instead of a global edge."""
     ht = l_harm // 2
     hp = l_perc // 2
-    a = a_ref[0, 0]                                   # (n_sb, hop)
+    a_scr[0:tile_t, :] = c_ref[0]
+    a_scr[tile_t:, :] = h_ref[0, 0]
+    a = a_scr[...]                                    # (n_sb_pad, hop)
     d = d_ref[...]                                    # (J*hop, 2*Fpad)
 
     if dft_precision == "bf16x3":
@@ -185,11 +199,11 @@ def _tile_masks(a_ref, d_ref, e_ref, mag_ref, *, n_fr, tile_t, F, Fpad,
     return mask_h, mask_p, s_center
 
 
-def _frontend_kernel(a_ref, d_ref, e_ref, m_ref, h_ref, p_ref, mag_ref,
-                     **kw):
+def _frontend_kernel(c_ref, hal_ref, d_ref, e_ref, m_ref, h_ref, p_ref,
+                     a_scr, mag_ref, **kw):
     """Mel variant: write ``(tile_t, n_mels)`` mel-projected H/P tiles."""
-    mask_h, mask_p, s_center = _tile_masks(a_ref, d_ref, e_ref, mag_ref,
-                                           **kw)
+    mask_h, mask_p, s_center = _tile_masks(c_ref, hal_ref, d_ref, e_ref,
+                                           a_scr, mag_ref, **kw)
     m = m_ref[...]                                    # (F, n_mels)
     h_ref[0, 0] = jax.lax.dot(s_center * mask_h, m, precision=_HIGHEST,
                               preferred_element_type=jnp.float32)
@@ -197,37 +211,46 @@ def _frontend_kernel(a_ref, d_ref, e_ref, m_ref, h_ref, p_ref, mag_ref,
                               preferred_element_type=jnp.float32)
 
 
-def _frontend_kernel_mag(a_ref, d_ref, e_ref, h_ref, p_ref, mag_ref,
-                         **kw):
+def _frontend_kernel_mag(c_ref, hal_ref, d_ref, e_ref, h_ref, p_ref,
+                         a_scr, mag_ref, **kw):
     """Full-resolution variant: write ``(tile_t, F)`` masked-magnitude
     H/P tiles (the reference's HarmSpec/PercSpec featName family)."""
-    mask_h, mask_p, s_center = _tile_masks(a_ref, d_ref, e_ref, mag_ref,
-                                           **kw)
+    mask_h, mask_p, s_center = _tile_masks(c_ref, hal_ref, d_ref, e_ref,
+                                           a_scr, mag_ref, **kw)
     h_ref[0, 0] = s_center * mask_h
     p_ref[0, 0] = s_center * mask_p
 
 
-def _audio_tiles(y: jax.Array, *, T: int, tile_t: int, hop: int, J: int,
-                 ht: int, halo_in_audio: bool = False):
-    """(B, N) audio -> overlapped superblock tiles (B, nT, n_sb, hop).
+def _audio_superblocks(y: jax.Array, *, T: int, tile_t: int, hop: int,
+                       J: int, ht: int, halo_in_audio: bool = False):
+    """(B, N) audio -> (centers, halos, nT, n_sb_pad).
 
-    Tile ``i`` holds the audio for padded frames
-    ``[i*tile_t, i*tile_t + tile_t + 2*ht)`` (frame index shifted by the
-    ``ht``-frame left halo).  With ``halo_in_audio`` the caller already
-    prepended ``ht*hop`` halo samples (time-sharded path); otherwise the
-    halo is zero and the kernel's edge mirror repairs the boundary.
+    ``centers`` is the padded superblock array ``(B, NSB, hop)`` whose
+    rows ``[t*tile_t, (t+1)*tile_t)`` are tile ``t``'s non-overlapping
+    center block (a plain pad+reshape — layout-preserving, one linear
+    copy, no duplication).  ``halos`` is the small pre-stacked
+    ``(B, nT, tail_pad, hop)`` right-halo array (rows
+    ``[(t+1)*tile_t, (t+1)*tile_t + tail_pad)``, ~3% of the audio);
+    overlap lives only here, so the fusion-cliff-prone overlapped stack
+    of the old design shrinks ~30x (see ``_tile_masks``).  ``tail_pad``
+    rounds the true ``2*ht + J - 1`` tail up to the 8-sublane
+    granularity; the surplus rows are never consumed.  With
+    ``halo_in_audio`` the caller already prepended ``ht*hop`` halo
+    samples (time-sharded path); otherwise the halo is zero and the
+    kernel's edge mirror repairs the boundary.
     """
     B, N = y.shape
     nT = -(-T // tile_t)
-    NSB = nT * tile_t + 2 * ht + J - 1
-    n_sb = tile_t + 2 * ht + J - 1
+    tail = 2 * ht + J - 1
+    tail_pad = 8 * -(-tail // 8)
+    NSB = nT * tile_t + tail_pad
     pad_l = 0 if halo_in_audio else ht * hop
     pad_r = NSB * hop - pad_l - N
     yp = jnp.pad(y.astype(jnp.float32), ((0, 0), (pad_l, pad_r)))
-    x = yp.reshape(B, NSB, hop)
-    tiles = jnp.stack([x[:, i * tile_t:i * tile_t + n_sb]
-                       for i in range(nT)], axis=1)   # (B, nT, n_sb, hop)
-    return tiles, nT, n_sb
+    sb = yp.reshape(B, NSB, hop)
+    halos = jnp.stack([sb[:, (t + 1) * tile_t:(t + 1) * tile_t + tail_pad]
+                       for t in range(nT)], axis=1)
+    return sb, halos, nT, tile_t + tail_pad
 
 
 @functools.partial(
@@ -260,10 +283,16 @@ def _frontend_pallas(y: jax.Array, M, *, n_fft, win_length,
         # The left-edge mirror only fires on tile 0; a tile thinner than
         # the halo would need it on tile 1 too and be silently wrong.
         raise ValueError(f"tile_t={tile_t} must be >= l_harm//2={ht}")
+    # The halo store lands at sublane offset tile_t in the audio scratch,
+    # so tiles are 8-granular (rounding up never changes the tile count:
+    # _pick_tile returns multiples of 8, and a single tile only grows).
+    tile_t = 8 * -(-tile_t // 8)
     n_fr = tile_t + 2 * ht
 
-    tiles, nT, n_sb = _audio_tiles(y, T=T, tile_t=tile_t, hop=hop_length,
-                                   J=J, ht=ht, halo_in_audio=halo_in_audio)
+    centers, halos, nT, n_sb = _audio_superblocks(
+        y, T=T, tile_t=tile_t, hop=hop_length, J=J, ht=ht,
+        halo_in_audio=halo_in_audio)
+    tail_pad = n_sb - tile_t
     if edge_flags is None:
         edge_flags = jnp.ones((1, 2), jnp.int32)
     basis = jnp.asarray(_dft_block_basis(n_fft, win_length, hop_length, hp))
@@ -282,14 +311,19 @@ def _frontend_pallas(y: jax.Array, M, *, n_fft, win_length,
     out_shape = jax.ShapeDtypeStruct((B, nT, tile_t, n_out), jnp.float32)
     grid = (B, nT)
     in_specs = [
-        pl.BlockSpec((1, 1, n_sb, hop_length), lambda b, t: (b, t, 0, 0),
+        # Non-overlapping center blocks (pipelined) + the small
+        # pre-stacked right halos (see _tile_masks).
+        pl.BlockSpec((1, tile_t, hop_length), lambda b, t: (b, t, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, tail_pad, hop_length),
+                     lambda b, t: (b, t, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((J * hop_length, 2 * Fpad), lambda b, t: (0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 2), lambda b, t: (0, 0),
                      memory_space=pltpu.SMEM),
     ]
-    inputs = [tiles, basis, jnp.asarray(edge_flags, jnp.int32)]
+    inputs = [centers, halos, basis, jnp.asarray(edge_flags, jnp.int32)]
     if emit_mel:
         in_specs.append(pl.BlockSpec((F, n_out), lambda b, t: (0, 0),
                                      memory_space=pltpu.VMEM))
@@ -311,7 +345,8 @@ def _frontend_pallas(y: jax.Array, M, *, n_fft, win_length,
         out_shape=(out_shape, out_shape),
         in_specs=in_specs,
         out_specs=(out_spec, out_spec),
-        scratch_shapes=[pltpu.VMEM((n_fr, Fpad), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((n_sb, hop_length), jnp.float32),
+                        pltpu.VMEM((n_fr, Fpad), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=flops_tile * B * nT,
             bytes_accessed=(n_sb * hop_length + 2 * tile_t * n_out) * 4

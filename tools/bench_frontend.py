@@ -97,12 +97,12 @@ def leg_step(leg: str, geom: str, cap: int):
 
         @jax.jit
         def step(a):
-            tiles, _, _ = fp._audio_tiles(a, T=T, tile_t=tile, hop=HOP,
-                                          J=-(-N_FFT // HOP), ht=ht)
-            # Consume every tile so the stack can't be dead-code
-            # eliminated; the extra full-array reduce costs ~bytes/819GBps,
-            # identical across geometries per cell.
-            return a * (1.0 + 1e-12 * jnp.sum(tiles))
+            sb, halos, _, _ = fp._audio_superblocks(
+                a, T=T, tile_t=tile, hop=HOP, J=-(-N_FFT // HOP), ht=ht)
+            # Consume the superblocks AND the halo stack so neither can
+            # be dead-code eliminated; the extra full-array reduce costs
+            # ~bytes/819GBps, identical across geometries per cell.
+            return a * (1.0 + 1e-12 * (jnp.sum(sb) + jnp.sum(halos)))
         return step, y
 
     if leg in ("raw", "no_median"):
