@@ -256,12 +256,13 @@ def run_fold(config: ExperimentConfig, cv_file_list: dict, fold: int,
     else:
         n_workers = max(config.prefetch_workers, 1)
         closers = None
-        train_iter = DevicePrefetcher([
-            _label_map(BalancedBatcher(fz, config.data_root, tr_files,
-                                       replace(bcfg,
-                                               seed=data_seed + 100 + w),
-                                       fold_stats=fold_stats))
-            for w in range(n_workers)])
+        train_batchers = [
+            BalancedBatcher(fz, config.data_root, tr_files,
+                            replace(bcfg, seed=data_seed + 100 + w),
+                            fold_stats=fold_stats)
+            for w in range(n_workers)]
+        train_iter = DevicePrefetcher([_label_map(b)
+                                       for b in train_batchers])
         val_iter = DevicePrefetcher(_label_map(
             BalancedBatcher(fz, config.data_root, va_files,
                             replace(bcfg, augment_noise=False,
@@ -396,8 +397,19 @@ def run_fold(config: ExperimentConfig, cv_file_list: dict, fold: int,
         row[f"Rec_{cls}"] = test_res["recall"][i]
         row[f"F1_{cls}"] = test_res["fscore"][i]
     append_results(op_dir, fold, row)
+    # Cache-behavior observability (scale-rehearsal artifact): the
+    # featuregram cache counters and, on the host pipeline, the patch
+    # LRU counters summed over the worker batchers.
+    cache_stats = {"featurizer": dict(fz.stats)}
+    if pipeline != "device":
+        merged = {"hits": 0, "misses": 0, "evictions": 0}
+        for b in train_batchers:
+            for k in merged:
+                merged[k] += b.cache_stats[k]
+        cache_stats["patch_lru"] = merged
     return {"row": row, "test": test_res, "fit": result, "op_dir": op_dir,
-            "tester": tester, "test_files": test_files}
+            "tester": tester, "test_files": test_files,
+            "cache_stats": cache_stats}
 
 
 def load_or_create_folds(config: ExperimentConfig) -> dict:

@@ -154,15 +154,23 @@ def _synth_noise(rng, n, fs):
 
 
 def make_toy_musan(root: str, *, n_per_class: int = 6,
-                   duration_s: float = 3.0, fs: int = TARGET_SR,
-                   with_noise: bool = False, seed: int = 0) -> str:
+                   duration_s: float | tuple = 3.0, fs: int = TARGET_SR,
+                   with_noise: bool = False, seed: int = 0,
+                   only: tuple | None = None) -> str:
     """Create ``root/{music,speech[,noise]}/*.wav`` + ``root/annotations``
-    CSVs in the MUSAN layout the fold builder expects.  Returns ``root``."""
+    CSVs in the MUSAN layout the fold builder expects.  Returns ``root``.
+
+    ``duration_s`` may be a (lo, hi) tuple for per-file uniform random
+    durations — MUSAN files are minutes long and variable, which is what
+    exercises length bucketing and cache behavior at scale
+    (tools/scale_rehearsal.py).  ``only`` restricts generation to a
+    subset of class names so per-class counts/durations can differ."""
     rng = np.random.default_rng(seed)
-    n = int(duration_s * fs)
     classes = {"music": _synth_music, "speech": _synth_speech}
     if with_noise:
         classes["noise"] = _synth_noise
+    if only is not None:
+        classes = {k: v for k, v in classes.items() if k in only}
     annot_dir = os.path.join(root, "annotations")
     os.makedirs(annot_dir, exist_ok=True)
     for cls, synth in classes.items():
@@ -170,6 +178,10 @@ def make_toy_musan(root: str, *, n_per_class: int = 6,
         rows = []
         for i in range(n_per_class):
             name = f"{cls}-toy-{i:04d}"
+            if isinstance(duration_s, tuple):
+                n = int(rng.uniform(*duration_s) * fs)
+            else:
+                n = int(duration_s * fs)
             x = normalize_signal_np(synth(rng, n, fs))
             write_wav(os.path.join(root, cls, name + ".wav"), x, fs)
             if cls == "music":

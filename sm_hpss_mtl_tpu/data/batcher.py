@@ -154,12 +154,18 @@ class BalancedBatcher:
         self._patch_cache: OrderedDict = OrderedDict()
         self._patch_bytes = 0
         self._patch_limit = config.patch_cache_mb * (1 << 20)
+        #: patch-LRU behavior counters (cold-regime diagnosis at corpus
+        #: scale: hits/misses/evictions; read by tools/scale_rehearsal).
+        self.cache_stats = {"hits": 0, "misses": 0, "evictions": 0}
 
     # -- featurization ----------------------------------------------------
     def _pc_get(self, key):
         hit = self._patch_cache.get(key)
         if hit is not None:
             self._patch_cache.move_to_end(key)
+            self.cache_stats["hits"] += 1
+        else:
+            self.cache_stats["misses"] += 1
         return hit
 
     def _pc_put(self, key, patches: np.ndarray, db):
@@ -170,6 +176,7 @@ class BalancedBatcher:
         while self._patch_bytes > self._patch_limit:
             _, (old, _db) = self._patch_cache.popitem(last=False)
             self._patch_bytes -= old.nbytes
+            self.cache_stats["evictions"] += 1
 
     def _patches_for(self, classname: str, item):
         if self._patch_limit > 0:

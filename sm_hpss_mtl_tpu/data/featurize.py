@@ -114,6 +114,8 @@ class Featurizer:
         self._mem_cache: "OrderedDict[str, np.ndarray]" = OrderedDict()
         self._mem_bytes = 0
         self._mem_limit = mem_cache_mb * (1 << 20)
+        #: featuregram-cache behavior counters (scale-rehearsal artifact)
+        self.stats = {"mem_hits": 0, "disk_hits": 0, "computes": 0}
 
     def _mem_get(self, key: str):
         fv = self._mem_cache.get(key)
@@ -160,6 +162,7 @@ class Featurizer:
         key = f"{classname}/{name}"
         cached = self._mem_get(key)
         if cached is not None:
+            self.stats["mem_hits"] += 1
             return cached
         cache_path = None
         if self.cache_dir:
@@ -167,7 +170,9 @@ class Featurizer:
             if os.path.exists(cache_path):
                 fv = np.load(cache_path, allow_pickle=False)
                 self._mem_put(key, fv)
+                self.stats["disk_hits"] += 1
                 return fv
+        self.stats["computes"] += 1
 
         c = self.config
         if classname in ("speech_music", "speech_noise"):

@@ -96,12 +96,17 @@ def fit(model, optimizer, train_iter, val_iter, *, mtl: bool,
     csv_file = None
 
     for epoch in range(initial_epoch, epochs):
+        e0 = time.perf_counter()
         train_rows = []
         for _ in range(steps_per_epoch):
             batch, labels = next(train_iter)
             rng, sub = jax.random.split(rng)
             state, metrics = train_step(state, batch, labels, sub)
             train_rows.append(metrics)
+        # Per-epoch wall clock of the TRAIN phase (async dispatch: the
+        # mean-metrics fetch below forces every step, so measure after).
+        train_rows = [jax.tree_util.tree_map(float, r) for r in train_rows]
+        t_train = time.perf_counter() - e0
         val_rows = []
         for _ in range(val_steps):
             batch, labels = next(val_iter)
@@ -109,7 +114,8 @@ def fit(model, optimizer, train_iter, val_iter, *, mtl: bool,
 
         tr = _mean_metrics(train_rows)
         va = _mean_metrics(val_rows)
-        row = {"epoch": epoch, **tr, **{f"val_{k}": v for k, v in va.items()}}
+        row = {"epoch": epoch, "epoch_train_s": round(t_train, 3),
+               **tr, **{f"val_{k}": v for k, v in va.items()}}
         result.history.append(row)
         if verbose:
             print(f"epoch {epoch}: loss={tr['loss']:.4f} "
