@@ -179,9 +179,13 @@ def _tile_masks(c_ref, h_ref, d_ref, e_ref, a_scr, mag_ref, *, n_fr,
         # Profiling hook (tools/bench_frontend.py): skip the median
         # selection networks and mask arithmetic so (full - no_median)
         # isolates the VPU median share of the kernel.  NOT a compute
-        # mode — output is mel(0.5*S) on both heads.
-        half = jnp.full((tile_t, F), 0.5, jnp.float32)
-        return half, half, mag[ht:ht + tile_t, hp:hp + F]
+        # mode.  The two stand-in masks must be distinct, non-constant
+        # tensors: equal (or scalar-multiple) masks let Mosaic CSE one
+        # of the two mel matmuls away and the leg under-measures.
+        ramp = jax.lax.broadcasted_iota(jnp.float32, (tile_t, F), 1)
+        mask_h = 0.5 + 1e-6 * ramp
+        mask_p = 0.5 - 1e-6 * ramp
+        return mask_h, mask_p, mag[ht:ht + tile_t, hp:hp + F]
     harm = _apply_median_network(
         [mag[k:k + tile_t, hp:hp + F] for k in range(l_harm)], l_harm)
     perc = _apply_median_network(
