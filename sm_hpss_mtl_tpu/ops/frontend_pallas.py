@@ -182,7 +182,8 @@ def _tile_masks(c_ref, h_ref, d_ref, e_ref, a_scr, mag_ref, *, n_fr,
         # mode.  The two stand-in masks must be distinct, non-constant
         # tensors: equal (or scalar-multiple) masks let Mosaic CSE one
         # of the two mel matmuls away and the leg under-measures.
-        ramp = jax.lax.broadcasted_iota(jnp.float32, (tile_t, F), 1)
+        ramp = jax.lax.broadcasted_iota(  # Mosaic iota is integer-only
+            jnp.int32, (tile_t, F), 1).astype(jnp.float32)
         mask_h = 0.5 + 1e-6 * ramp
         mask_p = 0.5 - 1e-6 * ramp
         return mask_h, mask_p, mag[ht:ht + tile_t, hp:hp + F]

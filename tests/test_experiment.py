@@ -41,6 +41,12 @@ def test_run_experiment_end_to_end(toy_root, tmp_path, model):
     op_dir = out["op_dir"]
     assert os.path.exists(os.path.join(op_dir, "Performance.csv"))
     assert os.path.exists(os.path.join(op_dir, "fold0_log.csv"))
+    with open(os.path.join(op_dir, "fold0_log.csv")) as f:
+        header = f.readline()
+    # Per-epoch wall clock for sustained-throughput reporting (r4).
+    assert "epoch_train_s" in header
+    assert "patch_lru" in out["cache_stats"]
+    assert out["cache_stats"]["featurizer"]["computes"] > 0
     assert os.path.exists(os.path.join(op_dir, "fold0_ckpt", "state"))
     cfg_csv = os.path.join(str(tmp_path / "results"), model,
                            "LogMelHarmPercSpec", "Configuration.csv")

@@ -151,3 +151,55 @@ def test_pick_tile_and_tile_guard():
             jnp.zeros((1, 16_000)), None, n_fft=400, win_length=400,
             hop_length=160, l_harm=21, l_perc=11, power=2.0, tile_t=8,
             interpret=True)
+
+
+def test_audio_superblocks_pieces(rng):
+    # The center blocks + the small halo stack together reconstruct the
+    # overlapped (n_sb, hop) window of every tile (the round-4 design:
+    # overlap lives only in the ~3% halo stack, never as whole
+    # materialized windows — NOTES r4 fusion-cliff diagnosis).
+    hop, J, ht, tile_t, T = 160, 3, 10, 48, 98
+    y = rng.standard_normal((2, 16_000)).astype(np.float32)
+    sb, halos, nT, n_sb = fp._audio_superblocks(
+        jnp.asarray(y), T=T, tile_t=tile_t, hop=hop, J=J, ht=ht)
+    sb, halos = np.asarray(sb), np.asarray(halos)
+    tail_pad = n_sb - tile_t
+    assert n_sb % 8 == 0
+    assert halos.shape == (2, nT, tail_pad, hop)
+    assert nT == -(-T // tile_t)
+    for t in range(nT):
+        window = sb[:, t * tile_t:t * tile_t + n_sb]
+        np.testing.assert_array_equal(
+            window[:, :tile_t], sb[:, t * tile_t:(t + 1) * tile_t])
+        np.testing.assert_array_equal(window[:, tile_t:], halos[:, t])
+    # The padded superblock array is the zero-padded audio itself
+    # (pad_l = ht*hop on the left), flattened row-major.
+    flat = sb.reshape(2, -1)
+    np.testing.assert_array_equal(flat[:, ht * hop:ht * hop + y.shape[1]],
+                                  y)
+    assert np.all(flat[:, :ht * hop] == 0)
+
+
+def test_frontend_profiling_stages(rng):
+    # stage='no_median' (fixed near-0.5 masks) and raw_out are profiling
+    # hooks; they must not disturb the default path and must produce the
+    # documented shapes/semantics.
+    n_fft, win, hop = 400, 400, 160
+    M = _mel(16, n_fft)
+    y = rng.standard_normal((1, 16_000)).astype(np.float32)
+    kw = dict(n_fft=n_fft, win_length=win, hop_length=hop, l_harm=21,
+              l_perc=11, power=2.0, interpret=True)
+    Hr, Pr = fp._frontend_pallas(jnp.asarray(y), jnp.asarray(M).T,
+                                 tile_t=48, raw_out=True, **kw)
+    assert Hr.ndim == 4 and Hr.shape[2] == 48  # (B, nT, tile_t, n_mels)
+    Hn, Pn = fp._frontend_pallas(jnp.asarray(y), jnp.asarray(M).T,
+                                 tile_t=48, stage="no_median", **kw)
+    # Distinct masks (CSE-proofing) -> the two heads differ slightly and
+    # their mean is exactly mel(0.5 * S).
+    assert np.any(np.asarray(Hn) != np.asarray(Pn))
+    from sm_hpss_mtl_tpu.ops import stft as stft_mod
+    S = stft_mod.stft_mag(jnp.asarray(y), n_fft=n_fft, win_length=win,
+                          hop_length=hop)
+    mel_half = np.einsum("mf,bft->bmt", M, 0.5 * np.asarray(S))
+    np.testing.assert_allclose((np.asarray(Hn) + np.asarray(Pn)) / 2,
+                               mel_half, rtol=1e-3, atol=1e-4)
