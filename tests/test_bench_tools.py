@@ -93,6 +93,61 @@ def test_profile_models_child_row():
     assert row["train_step_gflops"] > 0
 
 
+def test_bench_frontend_child_rows(monkeypatch, capsys):
+    """Every bench_frontend leg kind runs and emits a well-formed row
+    (tiny geometry, Pallas legs in interpret mode on CPU)."""
+    import tools.bench_frontend as bf
+    monkeypatch.setitem(bf.GEOMETRIES, "1x1", (1, 1.0))
+    for leg in ("full", "prep", "raw", "no_median"):
+        row = bf.run_child(leg, "1x1", 768)
+        out_row = json.loads(capsys.readouterr().out.strip()
+                             .splitlines()[-1])
+        assert out_row == row
+        assert row["leg"] == leg and row["cells"] >= 1
+        assert row["ms"] > 0 and row["us_per_cell"] > 0
+
+
+def test_bench_frontend_roofline_row():
+    import tools.bench_frontend as bf
+    r = bf.roofline_row("16x30", 768, measured_raw_ms=1.8,
+                        measured_nomed_ms=1.2, prep_ms=0.1)
+    assert r["cells"] == 64
+    assert r["bound_us_mxu"] > 0 and r["bound_us_hbm"] > 0
+    assert 0 < r["median_share_measured"] < 1
+    assert r["mxu_frac_of_peak"] > 0
+
+
+def test_bench_serving_child_rows(capsys):
+    """featurize / loop / scan legs on a seconds-scale broadcast."""
+    from tools.bench_serving import run_child
+    hours = 30.0 / 3600.0  # 30 s of audio
+    for leg in ("featurize", "loop", "scan"):
+        row = run_child(leg, hours, repeats=1)
+        out_row = json.loads(capsys.readouterr().out.strip()
+                             .splitlines()[-1])
+        assert out_row == row
+        assert row["leg"] == leg and row["n_frames"] > 0
+        assert row["best_s"] > 0 and row["realtime_factor"] > 0
+
+
+def test_scale_rehearsal_pipeline_row(tmp_path, capsys):
+    """The scale-rehearsal child runs a full (tiny) fold end-to-end and
+    reports duration-derived steps, per-epoch wall clock, and cache
+    stats — the plumbing the at-scale TPU run depends on."""
+    from tools.scale_rehearsal import ensure_corpus, run_pipeline
+    root = str(tmp_path / "scale_smoke")
+    ensure_corpus(root, n_music=4, n_speech=4, dur_scale=0.08)
+    row = run_pipeline(root, "host", epochs=2)
+    out_row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out_row == row
+    assert row["pipeline"] == "host"
+    assert row["tr_steps"] >= 1 and row["corpus_hours"] > 0
+    assert row["epochs_run"] >= 1
+    assert len(row["epoch_train_s"]) == row["epochs_run"]
+    assert row["sustained_steps_per_s_warm"] > 0
+    assert "cache_stats" in row
+
+
 @pytest.mark.quick
 @pytest.mark.real_time_op
 def test_time_op_median_stat():

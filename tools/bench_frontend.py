@@ -79,6 +79,9 @@ def leg_step(leg: str, geom: str, cap: int):
 
     y = audio_for(geom)
     _, tile, T = grid_cells(geom, cap)
+    # Off-TPU (CPU smoke tests) the Pallas legs need interpret mode;
+    # on the chip this is False and has no effect.
+    interp = jax.default_backend() != "tpu"
     kw = dict(n_fft=N_FFT, win_length=WIN, hop_length=HOP, l_harm=L_HARM,
               l_perc=L_PERC, power=2.0)
 
@@ -87,7 +90,8 @@ def leg_step(leg: str, geom: str, cap: int):
         M = jnp.asarray(mel_filterbank(16000, N_FFT, N_MELS), jnp.float32)
 
         def step(a):
-            H, P = fp.stft_hpss_mel(a, M, tile_t=cap, **kw)
+            H, P = fp.stft_hpss_mel(a, M, tile_t=cap, interpret=interp,
+                                    **kw)
             delta = jnp.mean(H + P, axis=(-2, -1))[..., None]
             return a + 1e-6 * delta
         return step, y
@@ -111,7 +115,8 @@ def leg_step(leg: str, geom: str, cap: int):
 
         def step(a):
             H, P = fp._frontend_pallas(a, MT, tile_t=tile, raw_out=True,
-                                       stage=stage, **kw)
+                                       stage=stage, interpret=interp,
+                                       **kw)
             delta = jnp.mean(H + P, axis=(-3, -2, -1))[..., None]
             return a + 1e-6 * delta
         return step, y
