@@ -38,9 +38,40 @@ class FitResult:
     stopped_early: bool = False
 
 
-def _mean_metrics(rows: list[dict]) -> dict:
-    keys = rows[0].keys()
-    return {k: float(np.mean([float(r[k]) for r in rows])) for k in keys}
+@jax.jit
+def _tree_add(a, b):
+    import jax.numpy as jnp
+    return jax.tree_util.tree_map(jnp.add, a, b)
+
+
+def _accumulate(acc, metrics):
+    """Running on-device sum of per-step metric pytrees.
+
+    One tiny jitted add per step (async dispatch), NO host fetch: each
+    scalar fetched from the device costs a full link round trip, and
+    fetching every step's metrics leaf-by-leaf is what dominated the
+    at-scale rehearsal epochs (~26 ms/scalar x 6 x 1283 steps ~= 200 s
+    per epoch over the tunneled chip — SCALE_r4 diagnosis, NOTES r4).
+    """
+    import jax.numpy as jnp
+    metrics = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, jnp.float32), metrics)
+    return metrics if acc is None else _tree_add(acc, metrics)
+
+
+def _fetch_mean(acc, n: int) -> dict:
+    """Mean metrics with ONE device->host transfer (leaves packed)."""
+    import jax.numpy as jnp
+    leaves, treedef = jax.tree_util.tree_flatten(acc)
+    flat = np.asarray(jnp.concatenate(
+        [jnp.ravel(x) for x in leaves])) / max(n, 1)
+    out, i = [], 0
+    for x in leaves:
+        size = int(np.prod(np.shape(x))) if np.shape(x) else 1
+        out.append(float(flat[i]) if size == 1
+                   else flat[i:i + size].reshape(np.shape(x)))
+        i += size
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def fit(model, optimizer, train_iter, val_iter, *, mtl: bool,
@@ -97,23 +128,22 @@ def fit(model, optimizer, train_iter, val_iter, *, mtl: bool,
 
     for epoch in range(initial_epoch, epochs):
         e0 = time.perf_counter()
-        train_rows = []
+        train_acc = None
         for _ in range(steps_per_epoch):
             batch, labels = next(train_iter)
             rng, sub = jax.random.split(rng)
             state, metrics = train_step(state, batch, labels, sub)
-            train_rows.append(metrics)
+            train_acc = _accumulate(train_acc, metrics)
         # Per-epoch wall clock of the TRAIN phase (async dispatch: the
-        # mean-metrics fetch below forces every step, so measure after).
-        train_rows = [jax.tree_util.tree_map(float, r) for r in train_rows]
+        # packed mean-metrics fetch below depends on every step's
+        # output, so it forces the whole epoch; measure after).
+        tr = _fetch_mean(train_acc, steps_per_epoch)
         t_train = time.perf_counter() - e0
-        val_rows = []
+        val_acc = None
         for _ in range(val_steps):
             batch, labels = next(val_iter)
-            val_rows.append(eval_step(state, batch, labels))
-
-        tr = _mean_metrics(train_rows)
-        va = _mean_metrics(val_rows)
+            val_acc = _accumulate(val_acc, eval_step(state, batch, labels))
+        va = _fetch_mean(val_acc, val_steps)
         row = {"epoch": epoch, "epoch_train_s": round(t_train, 3),
                **tr, **{f"val_{k}": v for k, v in va.items()}}
         result.history.append(row)
@@ -175,8 +205,8 @@ def evaluate_generator(model, state: TrainState, test_iter, steps: int, *,
     reference's ``model.evaluate(generator, steps=TS_STEPS)``
     (``Proposed_Work_Results.py:678-700``)."""
     eval_step = make_eval_step(model, mtl=mtl, loss_weights=loss_weights)
-    rows = []
+    acc = None
     for _ in range(steps):
         batch, labels = next(test_iter)
-        rows.append(eval_step(state, batch, labels))
-    return _mean_metrics(rows)
+        acc = _accumulate(acc, eval_step(state, batch, labels))
+    return _fetch_mean(acc, steps)

@@ -318,3 +318,27 @@ def test_classifier_inference_api(toy_root, tmp_path):
         os.path.join(toy_root, "speech", "speech-toy-0000.wav"),
         os.path.join(toy_root, "music", "music-toy-0001.wav"), 5.0)
     assert res2["probabilities"].shape == (3,)
+
+
+@pytest.mark.quick
+def test_metric_accumulation_matches_host_mean():
+    """The on-device epoch-metric accumulation (one packed fetch per
+    epoch — the SCALE_r4 high-latency-link fix) must agree with the
+    naive per-row host mean it replaced."""
+    import jax.numpy as jnp
+
+    from sm_hpss_mtl_tpu.train.loop import _accumulate, _fetch_mean
+
+    rng = np.random.default_rng(0)
+    rows = [{"loss": jnp.asarray(rng.uniform(0, 5), jnp.float32),
+             "acc": jnp.asarray(rng.uniform(), jnp.float32),
+             "S_loss": float(rng.uniform())}          # host float leaf
+            for _ in range(7)]
+    acc = None
+    for r in rows:
+        acc = _accumulate(acc, r)
+    got = _fetch_mean(acc, len(rows))
+    for k in rows[0]:
+        want = np.mean([float(r[k]) for r in rows])
+        assert np.isclose(got[k], want, rtol=1e-5), (k, got[k], want)
+        assert isinstance(got[k], float)
