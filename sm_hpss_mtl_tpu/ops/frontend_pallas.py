@@ -403,8 +403,64 @@ def _pick_tile(T: int, cap: int) -> int:
     return max(8, 8 * -(-T // (8 * nT)))
 
 
+def _chunked_frontend(y, Mt, *, tile_cap, chunk_tiles, **kw):
+    """Run batched long audio as sequential TIME-segment sub-calls of
+    ``chunk_tiles`` tiles each, instead of one tall ``(B, nT)`` grid.
+
+    Measured (tools/probe_sustained.py + interleaved A/Bs, real chip):
+    per-cell time inside ONE ``pallas_call`` grows superlinearly with
+    the per-item tile count when B > 1 — a (16, 16) grid runs ~1.36x
+    slower than four (16, 4) time-segment calls over the same audio
+    (9.97 -> 7.34 ms at B16 x 120 s), with 20-27% wins at every B >= 2
+    geometry probed (8/16/32 x 120 s, 16 x 480 s, 2 x 600 s).  Chunking
+    along BATCH does not recover it (a (4, 16) x 4 split measures
+    *worse* than the single grid), and B == 1 grids don't exhibit the
+    penalty at all (a (1, 240) grid beats every segmented variant) —
+    so the rule is: keep the per-call tile count at ~4 whenever B > 1,
+    leave single-recording calls whole.
+
+    Time segmentation reuses the kernel's ``halo_in_audio`` contract
+    from the time-sharded path (``parallel/frontend_shard.py``):
+    interior boundaries receive ``ht*hop`` real audio halo samples, so
+    the medians at the seams are exact, and the global-edge mirror
+    flags fire only on the true first/last segments.
+    """
+    B, N = y.shape
+    n_fft, hop = kw["n_fft"], kw["hop_length"]
+    ht = kw["l_harm"] // 2
+    T = 1 + (N - n_fft) // hop
+    tile = _pick_tile(T, tile_cap)
+    nT = -(-T // tile)
+    if chunk_tiles is None or B == 1 or nT <= chunk_tiles:
+        return _frontend_pallas(y, Mt, tile_t=tile, **kw)
+    # Time chunking: T_seg-frame segments with ht*hop real-audio halos.
+    T_seg = chunk_tiles * tile
+    n_seg = -(-T // T_seg)
+    bounds = [s * T_seg for s in range(n_seg)] + [T]
+    if n_seg > 1 and bounds[-1] - bounds[-2] < 2 * ht:
+        # The kernel's edge mirror needs 2*ht real frames: fold a tiny
+        # ragged tail into the previous segment.
+        bounds.pop(-2)
+    halo = ht * hop
+    tail_len = n_fft - hop
+    ypad = jnp.pad(y.astype(jnp.float32),
+                   ((0, 0), (halo, halo + tail_len + T_seg * hop)))
+    Hs, Ps = [], []
+    for s in range(len(bounds) - 1):
+        f0, f1 = bounds[s], bounds[s + 1]
+        Ts = f1 - f0
+        seg = ypad[:, f0 * hop:f0 * hop + (Ts + 2 * ht - 1) * hop + n_fft]
+        flags = jnp.asarray([[1 if s == 0 else 0,
+                              1 if f1 == T else 0]], jnp.int32)
+        H, P = _frontend_pallas(seg, Mt, tile_t=_pick_tile(Ts, tile),
+                                halo_in_audio=True, edge_flags=flags, **kw)
+        Hs.append(H)
+        Ps.append(P)
+    return jnp.concatenate(Hs, axis=-1), jnp.concatenate(Ps, axis=-1)
+
+
 def _dispatch(y, M, *, n_fft, win_length, hop_length, l_harm, l_perc,
-              power, tile_t, dft_precision, interpret):
+              power, tile_t, dft_precision, interpret, chunk_tiles=4):
     """Shared lead-dim handling + short-clip fallback.  ``M`` is the
     ``(n_mels, F)`` mel basis or None for full-resolution output."""
     squeeze = y.ndim == 1
@@ -442,10 +498,10 @@ def _dispatch(y, M, *, n_fft, win_length, hop_length, l_harm, l_perc,
             # VMEM than mel tiles; tile 768 OOMs the 16 MB scoped limit
             # at F=257 (measured) — cap at 512.
             tile_t = min(tile_t, 512)
-        out = _frontend_pallas(y, None if M is None else M.T,
-                               tile_t=_pick_tile(T, tile_t),
-                               interpret=interpret,
-                               dft_precision=dft_precision, **kw)
+        out = _chunked_frontend(y, None if M is None else M.T,
+                                tile_cap=tile_t, chunk_tiles=chunk_tiles,
+                                interpret=interpret,
+                                dft_precision=dft_precision, **kw)
 
     H, P = out
     if lead is not None:
@@ -460,33 +516,42 @@ def stft_hpss_mel(y: jax.Array, mel_basis, *, n_fft: int = 400,
                   win_length: int = 400, hop_length: int = 160,
                   l_harm: int = 21, l_perc: int = 11, power: float = 2.0,
                   tile_t: int = 768, dft_precision: str = "bf16x3",
-                  interpret: bool = False) -> tuple[jax.Array, jax.Array]:
+                  interpret: bool = False,
+                  chunk_tiles: int | None = 4
+                  ) -> tuple[jax.Array, jax.Array]:
     """Audio ``(..., n_samples)`` -> ``(mel(H), mel(P))`` of shape
     ``(..., n_mels, T)`` in one fused Pallas pass.
 
     ``mel_basis`` is ``(n_mels, F)`` (e.g. ``mel.mel_filterbank``); on
     non-TPU backends falls back to the jnp oracle chain.  ``tile_t`` is
     a cap: the actual tile is auto-sized to minimize padded frames
-    (see ``_pick_tile``).
+    (see ``_pick_tile``).  ``chunk_tiles`` caps the per-``pallas_call``
+    TIME-tile count for batched inputs — longer audio runs as
+    sequential time-segment sub-calls, 20-27% faster than one tall
+    grid at B >= 2 (``_chunked_frontend``); ``None`` disables chunking.
     """
     M = jnp.asarray(mel_basis, jnp.float32)
     return _dispatch(y, M, n_fft=n_fft, win_length=win_length,
                      hop_length=hop_length, l_harm=l_harm, l_perc=l_perc,
                      power=power, tile_t=tile_t,
-                     dft_precision=dft_precision, interpret=interpret)
+                     dft_precision=dft_precision, interpret=interpret,
+                     chunk_tiles=chunk_tiles)
 
 
 def stft_hpss(y: jax.Array, *, n_fft: int = 400, win_length: int = 400,
               hop_length: int = 160, l_harm: int = 21, l_perc: int = 11,
               power: float = 2.0, tile_t: int = 768,
               dft_precision: str = "bf16x3",
-              interpret: bool = False) -> tuple[jax.Array, jax.Array]:
+              interpret: bool = False,
+              chunk_tiles: int | None = 4
+              ) -> tuple[jax.Array, jax.Array]:
     """Audio ``(..., n_samples)`` -> full-resolution ``(H, P)`` masked
     magnitudes of shape ``(..., F, T)`` in one fused Pallas pass — the
     reference's HarmSpec/PercSpec featName family
     (``lib/preprocessing.py:404-416``) without the spectrogram ever
-    leaving VMEM."""
+    leaving VMEM.  ``chunk_tiles`` as in :func:`stft_hpss_mel`."""
     return _dispatch(y, None, n_fft=n_fft, win_length=win_length,
                      hop_length=hop_length, l_harm=l_harm, l_perc=l_perc,
                      power=power, tile_t=tile_t,
-                     dft_precision=dft_precision, interpret=interpret)
+                     dft_precision=dft_precision, interpret=interpret,
+                     chunk_tiles=chunk_tiles)

@@ -203,3 +203,58 @@ def test_frontend_profiling_stages(rng):
     mel_half = np.einsum("mf,bft->bmt", M, 0.5 * np.asarray(S))
     np.testing.assert_allclose((np.asarray(Hn) + np.asarray(Pn)) / 2,
                                mel_half, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("B,n_samples,tile_t,chunk_tiles", [
+    (2, 40_000, 24, 4),    # T=248, nT=11 -> segments of 4 tiles
+    (3, 40_000, 24, 3),    # odd batch, 3-tile segments
+    (2, 40_000, 24, 10),   # ragged last segment folds the tiny tail
+    (4, 20_000, 24, 2),    # shorter rows, thin segments
+])
+def test_frontend_time_chunking_matches_single_call(
+        rng, B, n_samples, tile_t, chunk_tiles):
+    """Time-segment sub-calls (real-audio halos via the halo_in_audio
+    contract, edge mirrors only at the global first/last segments) must
+    match the single-grid kernel to f32 rounding — the per-frame DFT
+    contractions and the seam medians are the same computations."""
+    n_fft, win, hop, l_harm, l_perc = 400, 400, 160, 21, 11
+    M = _mel(16, n_fft)
+    y = rng.standard_normal((B, n_samples)).astype(np.float32)
+    kw = dict(n_fft=n_fft, win_length=win, hop_length=hop,
+              l_harm=l_harm, l_perc=l_perc, power=2.0,
+              dft_precision="bf16x3", interpret=True)
+    Mt = jnp.asarray(M, jnp.float32).T
+    T = 1 + (n_samples - n_fft) // hop
+    ref = fp._frontend_pallas(jnp.asarray(y), Mt,
+                              tile_t=fp._pick_tile(T, tile_t), **kw)
+    got = fp._chunked_frontend(jnp.asarray(y), Mt, tile_cap=tile_t,
+                               chunk_tiles=chunk_tiles, **kw)
+    assert got[0].shape == ref[0].shape
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_frontend_chunking_single_call_cases(rng):
+    """chunk_tiles=None, B==1, and small inputs take the single-call
+    path (B==1 measured FASTER unchunked — see _chunked_frontend)."""
+    M = _mel(16, 400)
+    y2 = rng.standard_normal((2, 8_000)).astype(np.float32)
+    a = fp.stft_hpss_mel(jnp.asarray(y2), M, interpret=True,
+                         chunk_tiles=None)
+    b = fp.stft_hpss_mel(jnp.asarray(y2), M, interpret=True,
+                         chunk_tiles=4)
+    for x, z in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(z))
+    # B==1 long row: chunked call must be bit-identical (single path).
+    y1 = rng.standard_normal((1, 40_000)).astype(np.float32)
+    kw = dict(n_fft=400, win_length=400, hop_length=160, l_harm=21,
+              l_perc=11, power=2.0, dft_precision="bf16x3",
+              interpret=True)
+    Mt = jnp.asarray(M, jnp.float32).T
+    c = fp._chunked_frontend(jnp.asarray(y1), Mt, tile_cap=24,
+                             chunk_tiles=4, **kw)
+    d = fp._frontend_pallas(jnp.asarray(y1), Mt,
+                            tile_t=fp._pick_tile(248, 24), **kw)
+    for x, z in zip(c, d):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(z))
