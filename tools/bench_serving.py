@@ -94,6 +94,24 @@ def timed(fn, repeats: int):
     return first, warm
 
 
+def _link_probe(nbytes_up: int, nbytes_down: int) -> dict:
+    """Host->device and device->host transfer times for the leg's actual
+    byte volumes, so the report can split chip rate from link rate (the
+    sandbox tunnel measured ~35 MB/s; a co-located TPU host moves these
+    bytes over PCIe at GB/s — SCALE_r4.json 'diagnosis')."""
+    x_up = np.zeros(max(nbytes_up // 4, 1), np.float32)
+    t0 = time.perf_counter()
+    dev = jnp.asarray(x_up)
+    float(dev[-1])                       # force arrival
+    up_s = time.perf_counter() - t0
+    dev_dn = jnp.zeros(max(nbytes_down // 4, 1), jnp.float32) + 1.0
+    float(dev_dn[-1])                    # force materialization
+    t0 = time.perf_counter()
+    np.asarray(dev_dn)
+    dn_s = time.perf_counter() - t0
+    return {"link_up_s": round(up_s, 3), "link_down_s": round(dn_s, 3)}
+
+
 def run_child(leg: str, hours: float, repeats: int):
     audio = broadcast_audio(hours)
 
@@ -103,6 +121,8 @@ def run_child(leg: str, hours: float, repeats: int):
             return fv
         first, warm = timed(once, repeats)
         n_frames = 1 + (len(audio) - 400) // HOP
+        # Bytes this leg moves over the link per pass: audio up, fv down.
+        link = _link_probe(audio.nbytes, 2 * N_MELS * n_frames * 4)
     else:
         seg = make_segmenter(use_scan=(leg == "scan"))
         fv = featuregram_of(audio)
@@ -113,15 +133,26 @@ def run_child(leg: str, hours: float, repeats: int):
             # Force completion of every head.
             return {k: float(np.sum(v)) for k, v in tracks.items()}
         first, warm = timed(once, repeats)
+        n_windows = n_frames - W + 1
+        if leg == "scan":
+            up = fv.nbytes                       # featuregram, put once
+        else:
+            # shift-1 dense windows shipped per slab: W-fold duplication.
+            up = n_windows * fv.shape[0] * W * 4
+        link = _link_probe(up, n_windows * 5 * 4)
 
     best, med = min(warm), statistics.median(warm)
+    link_s = link["link_up_s"] + link["link_down_s"]
     row = {"leg": leg, "hours": hours, "n_frames": n_frames,
            "first_s": round(first, 3),
            "warm_s": [round(t, 3) for t in warm],
            "best_s": round(best, 3), "median_s": round(med, 3),
            "audio_h_per_s": round(hours / best, 3),
            "audio_h_per_s_median": round(hours / med, 3),
-           "realtime_factor": round(hours * 3600 / best, 1)}
+           "realtime_factor": round(hours * 3600 / best, 1),
+           **link, "link_share": round(min(link_s / best, 1.0), 3),
+           "audio_h_per_s_ex_link": round(
+               hours / max(best - link_s, 1e-9), 3)}
     print(json.dumps(row))
     return row
 
@@ -134,6 +165,12 @@ def main(argv=None):
     p.add_argument("--hours", type=float, nargs="*", default=[0.5, 2.0])
     p.add_argument("--rounds", type=int, default=2)
     p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--legs", default="featurize,loop,scan",
+                   help="comma list; the slab loop ships W-fold "
+                        "duplicated windows (47 GB/pass at 2 h on this "
+                        "link) — cap it to short broadcasts")
+    p.add_argument("--merge", action="store_true",
+                   help="merge new legs into an existing --out report")
     p.add_argument("--child", default=None, help="internal: 'leg:hours'")
     args = p.parse_args(argv)
 
@@ -147,7 +184,7 @@ def main(argv=None):
         return
 
     legs = [(leg, h) for h in args.hours
-            for leg in ("featurize", "loop", "scan")]
+            for leg in args.legs.split(",")]
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     samples = {}
@@ -177,7 +214,15 @@ def main(argv=None):
                   "whole-pass wall clock (warm; first_s includes "
                   "compile), per-leg single-program subprocesses, "
                   "rounds interleaved; shift-1 dense prediction at the "
-                  "reference chunk size")}
+                  "reference chunk size. link_* fields: measured "
+                  "host<->device transfer time for the leg's actual "
+                  "byte volumes — this sandbox reaches the chip over a "
+                  "~35 MB/s tunnel, so audio_h_per_s_ex_link is the "
+                  "chip-rate gauge (a co-located TPU host moves the "
+                  "same bytes at GB/s)")}
+    if args.merge and os.path.exists(args.out):
+        with open(args.out) as f:
+            report["legs"] = json.load(f).get("legs", {})
     for child, rows in samples.items():
         best = min(r["best_s"] for r in rows)
         med = statistics.median([r["median_s"] for r in rows])
