@@ -35,6 +35,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import hpss as hpss_mod
 from . import mel as mel_mod
@@ -73,12 +74,13 @@ def _parse(feat_name: str):
     jax.jit,
     static_argnames=("feat_name", "sr", "n_fft", "win_length", "hop_length",
                      "n_mels", "l_harm", "l_perc", "use_pallas",
-                     "dft_precision"))
+                     "dft_precision", "top_db"))
 def featuregram(y: jax.Array, *, feat_name: str, sr: int = 16000,
                 n_fft: int = 400, win_length: int = 400, hop_length: int = 160,
                 n_mels: int = 120, l_harm: int = 21, l_perc: int = 11,
                 use_pallas: bool = False, valid_frames=None,
-                dft_precision: str = "bf16x3") -> jax.Array:
+                dft_precision: str = "bf16x3",
+                top_db: float | None = 80.0) -> jax.Array:
     """Compute the featuregram for audio ``(..., n_samples)`` ->
     ``(..., D, T)``.
 
@@ -89,7 +91,10 @@ def featuregram(y: jax.Array, *, feat_name: str, sr: int = 16000,
     audio was length-padded (see ``data.featurize.Featurizer``).
     ``dft_precision`` ('bf16x3' | 'highest') selects the fused frontend's
     windowed-DFT matmul precision (see HPSS_GOLDEN.json / NOTES.md for
-    the measured policy evidence).
+    the measured policy evidence).  ``top_db`` is librosa's dB clamp
+    width; ``None`` skips the clamp (the log map is then purely
+    elementwise — used by ``featuregram_slabbed`` to defer the
+    global-peak clamp until all slabs exist).
     """
     log, mel, harm, perc = _parse(feat_name)
 
@@ -103,7 +108,8 @@ def featuregram(y: jax.Array, *, feat_name: str, sr: int = 16000,
             fv = stft_mod.stft_mag(y, n_fft=n_fft, win_length=win_length,
                                    hop_length=hop_length)
         if log:
-            fv = mel_mod.power_to_db(fv ** 2, valid_len=valid_frames)
+            fv = mel_mod.power_to_db(fv ** 2, valid_len=valid_frames,
+                                     top_db=top_db)
         return fv.astype(jnp.float32)
 
     # HPSS branches.
@@ -139,7 +145,8 @@ def featuregram(y: jax.Array, *, feat_name: str, sr: int = 16000,
         if log:
             # power_to_db(fv**2): the reference squares the (already
             # magnitude-domain) feature before the dB map.
-            fv = mel_mod.power_to_db(fv ** 2, valid_len=valid_frames)
+            fv = mel_mod.power_to_db(fv ** 2, valid_len=valid_frames,
+                                     top_db=top_db)
         return fv.astype(jnp.float32)
 
     parts = []
@@ -148,6 +155,79 @@ def featuregram(y: jax.Array, *, feat_name: str, sr: int = 16000,
     if perc:
         parts.append(_post(P))
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-2)
+
+
+def featuregram_slabbed(y, *, feat_name: str, slab_frames: int = 16384,
+                        sr: int = 16000, n_fft: int = 400,
+                        win_length: int = 400, hop_length: int = 160,
+                        n_mels: int = 120, l_harm: int = 21,
+                        l_perc: int = 11, use_pallas: bool = False,
+                        dft_precision: str = "bf16x3",
+                        top_db: float | None = 80.0) -> np.ndarray:
+    """Serving-path featuregram for one long recording: fixed-shape slab
+    programs instead of one broadcast-length program.
+
+    ``featuregram`` jit-compiles per audio length — fine for training
+    (the featurizer cache is length-bucketed) but wrong for serving,
+    where every new broadcast duration pays a fresh XLA compile
+    (measured: 27 s at 0.5 h of audio on v5e).  This helper runs the
+    recording as ``slab_frames``-frame windows with ``l_harm//2``-frame
+    real-audio margins at interior seams, so at most TWO compiled
+    programs exist per configuration (edge / interior window shapes),
+    reused across all broadcasts of every length.
+
+    Exactness vs the whole-signal ``featuregram``: the harmonic median
+    needs ``l_harm//2`` frames of time context; each window computes
+    that margin from real audio and the margin frames are trimmed, so
+    interior frames match exactly.  The first/last windows keep the
+    true global edge, so the kernel's spectral edge mirror fires
+    exactly where the whole-signal program's does.  librosa's
+    ``top_db`` clamp references the max over the WHOLE spectrogram
+    (``ops.mel.power_to_db``): slabs are computed unclamped
+    (``top_db=None`` — the log map is elementwise, hence slab-exact)
+    and the clamp is applied once at the end with the global peak.
+
+    Returns a host ``numpy`` array ``(D, T)`` — serving output is
+    consumed host-side (``StreamingSegmenter`` re-slabs it).
+
+    Reference serving path (featurizes whole multi-hour broadcasts in
+    one librosa call): DAFx12_Speech_Music_Detection_B3_MTL_v2.py:634-676.
+    """
+    if y.ndim != 1:
+        raise ValueError("featuregram_slabbed takes one recording (1-D)")
+    log, _, harm, perc = _parse(feat_name)
+    hop, S = hop_length, int(slab_frames)
+    T = 1 + (int(y.shape[0]) - n_fft) // hop
+    margin = (l_harm // 2) if (harm or perc) else 0
+    if S <= margin:
+        raise ValueError(f"slab_frames {S} must exceed the harmonic "
+                         f"median margin {margin}")
+    kw = dict(feat_name=feat_name, sr=sr, n_fft=n_fft,
+              win_length=win_length, hop_length=hop_length,
+              n_mels=n_mels, l_harm=l_harm, l_perc=l_perc,
+              use_pallas=use_pallas, dft_precision=dft_precision)
+    if T <= S + margin:
+        return np.asarray(featuregram(jnp.asarray(y)[None],
+                                      top_db=top_db, **kw)[0])
+
+    y = np.asarray(y)
+
+    def window(f0, f1):
+        seg = jnp.asarray(y[f0 * hop:(f1 - 1) * hop + n_fft])
+        return np.asarray(featuregram(seg[None], top_db=None, **kw)[0])
+
+    parts = [window(0, S + margin)[:, :S]]              # true left edge
+    n_cores = -(-T // S)
+    for k in range(1, n_cores - 1):
+        w = window(k * S - margin, (k + 1) * S + margin)
+        parts.append(w[:, margin:margin + S])
+    tail = T - (n_cores - 1) * S                        # in (0, S]
+    w = window(T - S - margin, T)                       # true right edge
+    parts.append(w[:, S + margin - tail:])
+    fv = np.concatenate(parts, axis=-1)
+    if log and top_db is not None:
+        fv = np.maximum(fv, fv.max() - np.float32(top_db))
+    return fv
 
 
 def feature_dim(feat_name: str, *, n_fft: int = 400, n_mels: int = 120) -> int:

@@ -207,3 +207,50 @@ def test_featuregram_all_names_shapes(audio_1s):
         out = fg.featuregram(y, feat_name=name)
         assert out.shape[0] == fg.feature_dim(name), name
         assert np.all(np.isfinite(np.asarray(out))), name
+
+
+# --- featuregram_slabbed: fixed-shape serving featurizer -------------------
+
+@pytest.mark.parametrize("feat_name,n_frames,slab", [
+    ("LogMelHarmPercSpec", 700, 256),   # first/interior/last + ragged tail
+    ("LogMelHarmPercSpec", 512, 256),   # tail == slab exactly
+    ("HarmPercSpec", 600, 200),         # non-log: no clamp pass
+    ("LogMelSpec", 700, 256),           # no HPSS: zero margin
+])
+def test_featuregram_slabbed_matches_whole(feat_name, n_frames, slab):
+    rng = np.random.default_rng(3)
+    y = rng.standard_normal(N_FFT + (n_frames - 1) * HOP).astype(np.float32)
+    whole = np.asarray(fg.featuregram(jnp.asarray(y)[None],
+                                      feat_name=feat_name, n_mels=40)[0])
+    got = fg.featuregram_slabbed(y, feat_name=feat_name, n_mels=40,
+                                 slab_frames=slab)
+    assert got.shape == whole.shape
+    np.testing.assert_allclose(got, whole, rtol=1e-5, atol=1e-5)
+
+
+def test_featuregram_slabbed_short_falls_back(audio_1s):
+    y = np.asarray(audio_1s, np.float32)
+    whole = np.asarray(fg.featuregram(jnp.asarray(y)[None],
+                                      feat_name="LogMelHarmPercSpec")[0])
+    got = fg.featuregram_slabbed(y, feat_name="LogMelHarmPercSpec",
+                                 slab_frames=16384)
+    np.testing.assert_allclose(got, whole, rtol=0, atol=0)
+
+
+def test_featuregram_slabbed_global_clamp():
+    # The top_db clamp must reference the GLOBAL peak: put a loud burst
+    # in the last slab and check the quiet first slab is clamped by it
+    # (identical to the whole-signal program, which clamps globally).
+    rng = np.random.default_rng(4)
+    y = (1e-6 * rng.standard_normal(N_FFT + 699 * HOP)).astype(np.float32)
+    y[-4000:] += np.sin(2 * np.pi * 440 * np.arange(4000) / FS).astype(
+        np.float32)
+    whole = np.asarray(fg.featuregram(jnp.asarray(y)[None],
+                                      feat_name="LogMelHarmPercSpec",
+                                      n_mels=40)[0])
+    got = fg.featuregram_slabbed(y, feat_name="LogMelHarmPercSpec",
+                                 n_mels=40, slab_frames=256)
+    # The clamp binds somewhere in the quiet region (else this test
+    # proves nothing).
+    assert (whole[:, :256] == whole.max() - 80.0).any()
+    np.testing.assert_allclose(got, whole, rtol=1e-5, atol=1e-5)
