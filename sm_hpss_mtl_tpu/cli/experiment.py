@@ -119,7 +119,8 @@ def resolve_clip_patches(config, tr_files: dict) -> int:
 
 
 def _resume_status(meta: dict, csv_log: str, budget: int,
-                   patience: int = 5, min_delta: float = 0.01):
+                   patience: int | None = None,
+                   min_delta: float | None = None):
     """``(finished, completed_epochs)`` for an existing fold checkpoint.
 
     A fold counts as finished when its metadata carries the
@@ -129,8 +130,15 @@ def _resume_status(meta: dict, csv_log: str, budget: int,
     interrupted run that must continue for the remaining budget —
     the reference's count-completed-epochs resume
     (``DAFx12_...py:534-545``).
+
+    ``patience``/``min_delta`` default to the shared constants used by
+    ``train.loop.fit`` so the replay can never disagree with training.
     """
     import csv
+
+    from ..train.loop import EARLY_STOP_MIN_DELTA, EARLY_STOP_PATIENCE
+    patience = EARLY_STOP_PATIENCE if patience is None else patience
+    min_delta = EARLY_STOP_MIN_DELTA if min_delta is None else min_delta
     rows = []
     try:
         with open(csv_log) as f:

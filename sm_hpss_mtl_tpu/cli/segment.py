@@ -30,6 +30,11 @@ from ..models import get_model
 from ..train import TrainState, for_model, make_predict, restore_checkpoint
 from ..train.config import MODEL_PRESETS
 
+#: Broadcasts longer than this many frames featurize via the slabbed
+#: fixed-shape path (ops.featuregram.featuregram_slabbed) instead of a
+#: per-length whole-signal program.
+SLAB_THRESHOLD_FRAMES = 16384
+
 
 def _featurize_broadcast(x, preset):
     """Featurize a whole broadcast.  With >1 device and a Mel-HPSS
@@ -54,10 +59,21 @@ def _featurize_broadcast(x, preset):
         return np.asarray(featuregram_time_sharded(
             jnp.asarray(x), mesh, feat_name=preset["feat_name"],
             n_fft=preset["n_fft"], n_mels=preset["n_mels"]))
-    # Bucket the audio length like Featurizer._compute: every distinct
-    # length otherwise traces/compiles a fresh XLA program, so batch
-    # segmenting many ragged files pays repeated multi-second compiles.
     true_t = stft_frames(len(x), preset["n_fft"], 160)
+    if true_t > SLAB_THRESHOLD_FRAMES:
+        # Long broadcast: fixed-shape slab programs (at most two XLA
+        # compiles per config, reused across every broadcast length —
+        # the whole-signal program would recompile per duration).
+        from ..ops.featuregram import featuregram_slabbed
+        return featuregram_slabbed(
+            np.asarray(x, np.float32), feat_name=preset["feat_name"],
+            n_fft=preset["n_fft"],
+            n_mels=preset["n_mels"] if preset["n_mels"] > 0 else 120,
+            use_pallas=jax.default_backend() == "tpu")
+    # Short files: bucket the audio length like Featurizer._compute —
+    # every distinct length otherwise traces/compiles a fresh XLA
+    # program, so batch segmenting many ragged files pays repeated
+    # multi-second compiles.
     x = _reflect_pad_to(np.asarray(x), bucket_length(len(x)))
     fv = np.asarray(featuregram(
         jnp.asarray(x), feat_name=preset["feat_name"],

@@ -182,10 +182,13 @@ def featuregram_slabbed(y, *, feat_name: str, slab_frames: int = 16384,
     interior frames match exactly.  The first/last windows keep the
     true global edge, so the kernel's spectral edge mirror fires
     exactly where the whole-signal program's does.  librosa's
-    ``top_db`` clamp references the max over the WHOLE spectrogram
-    (``ops.mel.power_to_db``): slabs are computed unclamped
-    (``top_db=None`` — the log map is elementwise, hence slab-exact)
-    and the clamp is applied once at the end with the global peak.
+    ``top_db`` clamp references the max of each ``power_to_db`` call's
+    input — i.e. the max PER COMPONENT for two-part [H; P] features and
+    the whole-spectrogram max otherwise (``ops.mel.power_to_db``).
+    Slabs are computed unclamped (``top_db=None`` — the log map is then
+    elementwise, hence slab-exact) and the clamp is applied once at the
+    end: per D/2-row component block for HarmPerc features, globally
+    for single-component ones.
 
     Returns a host ``numpy`` array ``(D, T)`` — serving output is
     consumed host-side (``StreamingSegmenter`` re-slabs it).
@@ -226,7 +229,19 @@ def featuregram_slabbed(y, *, feat_name: str, slab_frames: int = 16384,
     parts.append(w[:, S + margin - tail:])
     fv = np.concatenate(parts, axis=-1)
     if log and top_db is not None:
-        fv = np.maximum(fv, fv.max() - np.float32(top_db))
+        if harm and perc:
+            # Two-component features ([H; P] stacked on the row axis):
+            # the whole-signal path runs power_to_db PER component
+            # (one call per part in featuregram._post, matching the
+            # reference's per-call clamp at
+            # /root/reference/lib/preprocessing.py:420-422 and
+            # 5_class_classification.py:363-365), so each D/2-row block
+            # is clamped by its OWN global max here.
+            half = fv.shape[0] // 2
+            for blk in (fv[:half], fv[half:]):
+                np.maximum(blk, blk.max() - np.float32(top_db), out=blk)
+        else:
+            fv = np.maximum(fv, fv.max() - np.float32(top_db))
     return fv
 
 

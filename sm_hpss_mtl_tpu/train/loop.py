@@ -22,6 +22,13 @@ import numpy as np
 
 from .state import TrainState, make_eval_step, make_train_step
 
+#: Reference early-stopping policy (EarlyStopping(min_delta=0.01,
+#: patience=5), Proposed_Work_Results.py:276).  Shared between fit()
+#: and the resume replay in cli.experiment._resume_status so a tuned
+#: value can never drift between training and its resume logic.
+EARLY_STOP_PATIENCE = 5
+EARLY_STOP_MIN_DELTA = 0.01
+
 
 @dataclass
 class FitResult:
@@ -79,7 +86,8 @@ def fit(model, optimizer, train_iter, val_iter, *, mtl: bool,
         state: TrainState | None = None, sample_batch=None,
         loss_weights: dict | None = None, l2_reg: float = 0.0,
         augment_noise: bool = False, rng=None,
-        patience: int = 5, min_delta: float = 0.01,
+        patience: int = EARLY_STOP_PATIENCE,
+        min_delta: float = EARLY_STOP_MIN_DELTA,
         checkpoint_dir: str | None = None, csv_log: str | None = None,
         train_step=None, eval_step=None, sample_state_input=None,
         initial_epoch: int = 0, initial_best: float = float("inf"),

@@ -237,20 +237,36 @@ def test_featuregram_slabbed_short_falls_back(audio_1s):
     np.testing.assert_allclose(got, whole, rtol=0, atol=0)
 
 
-def test_featuregram_slabbed_global_clamp():
-    # The top_db clamp must reference the GLOBAL peak: put a loud burst
-    # in the last slab and check the quiet first slab is clamped by it
-    # (identical to the whole-signal program, which clamps globally).
+@pytest.mark.parametrize("feat_name", ["LogMelHarmPercSpec",
+                                       "LogHarmPercSpec"])
+def test_featuregram_slabbed_global_clamp(feat_name):
+    # The top_db clamp must reference each COMPONENT's whole-signal
+    # peak (the whole-signal path runs power_to_db per HPSS part): put
+    # a loud burst in the last slab and check the quiet first slab is
+    # clamped to that part's global floor, per part, identically to the
+    # whole-signal program.
     rng = np.random.default_rng(4)
     y = (1e-6 * rng.standard_normal(N_FFT + 699 * HOP)).astype(np.float32)
     y[-4000:] += np.sin(2 * np.pi * 440 * np.arange(4000) / FS).astype(
         np.float32)
     whole = np.asarray(fg.featuregram(jnp.asarray(y)[None],
-                                      feat_name="LogMelHarmPercSpec",
-                                      n_mels=40)[0])
-    got = fg.featuregram_slabbed(y, feat_name="LogMelHarmPercSpec",
-                                 n_mels=40, slab_frames=256)
-    # The clamp binds somewhere in the quiet region (else this test
-    # proves nothing).
-    assert (whole[:, :256] == whole.max() - 80.0).any()
-    np.testing.assert_allclose(got, whole, rtol=1e-5, atol=1e-5)
+                                      feat_name=feat_name, n_mels=40)[0])
+    got = fg.featuregram_slabbed(y, feat_name=feat_name, n_mels=40,
+                                 slab_frames=256)
+    # The clamp binds in the quiet region of BOTH component blocks, at
+    # each block's own floor (else this test proves nothing).
+    half = whole.shape[0] // 2
+    for blk in (whole[:half], whole[half:]):
+        assert (blk[:, :256] == blk.max() - 80.0).any()
+    # The two parts' peaks differ, so a single global clamp would be
+    # detectably wrong on the quieter part.
+    assert abs(float(whole[:half].max()) - float(whole[half:].max())) > 0.1
+    # Tolerance note: at full resolution (LogHarmPercSpec) a handful of
+    # bins near the burst onset differ by up to ~2.5 mdB — the two
+    # compiled programs (whole vs slab window) round the HIGHEST-
+    # precision DFT matmul differently at the last ulp, and where two
+    # order statistics inside the width-21 harmonic median are that
+    # close the median flips between them.  Benign inter-program
+    # nondeterminism (5.8e-4 relative in power, well under the 1e-3
+    # parity bar), not a clamp or seam bug.
+    np.testing.assert_allclose(got, whole, rtol=1e-4, atol=5e-3)

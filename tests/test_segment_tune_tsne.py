@@ -244,3 +244,34 @@ def test_scan_segmenter_caches_compiled_program(rng):
     # Different shape -> new program.
     seg.frame_probabilities(rng.standard_normal((6, 120)).astype(np.float32))
     assert seg._scan_cache[1] is not prog1
+
+
+def test_featurize_broadcast_uses_slabbed_path(monkeypatch):
+    # VERDICT r4 #2: long broadcasts must featurize via the fixed-shape
+    # slabbed path (two compiled programs per config) and match the
+    # whole-signal featuregram.  Shrink the threshold so the test stays
+    # small.
+    from sm_hpss_mtl_tpu.cli import segment as seg_cli
+    from sm_hpss_mtl_tpu.ops import featuregram as fg
+
+    monkeypatch.setattr(seg_cli, "SLAB_THRESHOLD_FRAMES", 64)
+    called = {}
+    orig = fg.featuregram_slabbed
+
+    def spy(*a, **kw):
+        called["yes"] = True
+        kw.setdefault("slab_frames", 64)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(fg, "featuregram_slabbed", spy)
+    # Non-mel feature so the 8-virtual-device conftest mesh does not
+    # divert to the time-sharded branch (that leg has its own tests).
+    preset = {"feat_name": "LogHarmPercSpec", "n_fft": 400, "n_mels": 24}
+    rng_l = np.random.default_rng(7)
+    x = rng_l.standard_normal(400 + 199 * 160).astype(np.float32)  # 200 frames
+    got = seg_cli._featurize_broadcast(x, preset)
+    assert called.get("yes"), "long broadcast did not take the slabbed path"
+    whole = np.asarray(fg.featuregram(
+        jnp.asarray(x)[None], feat_name="LogHarmPercSpec", n_mels=24)[0])
+    assert got.shape == whole.shape
+    np.testing.assert_allclose(got, whole, rtol=1e-4, atol=5e-3)

@@ -57,11 +57,14 @@ def broadcast_audio(hours: float) -> np.ndarray:
 
 
 def featuregram_of(audio: np.ndarray) -> np.ndarray:
-    from sm_hpss_mtl_tpu.ops.featuregram import featuregram
-    fv = featuregram(jnp.asarray(audio[None]),
-                     feat_name="LogMelHarmPercSpec", n_mels=N_MELS,
-                     use_pallas=jax.default_backend() == "tpu")
-    return np.asarray(fv[0])
+    # Serving featurization = the slabbed fixed-shape path (at most two
+    # compiled programs per config regardless of broadcast length; the
+    # whole-signal featuregram would pay a fresh multi-second XLA
+    # compile per distinct duration — 27 s measured at 0.5 h).
+    from sm_hpss_mtl_tpu.ops.featuregram import featuregram_slabbed
+    return featuregram_slabbed(
+        np.asarray(audio, np.float32), feat_name="LogMelHarmPercSpec",
+        n_mels=N_MELS, use_pallas=jax.default_backend() == "tpu")
 
 
 def make_segmenter(use_scan: bool):

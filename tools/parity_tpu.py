@@ -146,6 +146,41 @@ def main(argv=None):
             print(f"frontend n_fft={n_fft} sec={n_sec} {prec}: "
                   f"rel_H={row['rel_H']:.3e} db_err_H={row['db_err_H']:.4f}")
 
+    # Slabbed serving featurization vs the whole-signal program, ON THE
+    # CHIP with the fused Pallas frontend (VERDICT r4 next #7): the CPU
+    # parity tests never exercise the kernel's edge-flag handling at
+    # slab seams on real hardware.  170 s of audio with a loud burst at
+    # the end so the deferred per-component top_db clamp binds.
+    from sm_hpss_mtl_tpu.ops.featuregram import featuregram, featuregram_slabbed
+
+    results["slabbed_cases"] = []
+    use_pallas = backend == "tpu"
+    for n_sec, slab in ((170.0, 4096), (40.0, 1024)):
+        n = int(n_sec * 16000)
+        y = (1e-5 * rng.standard_normal(n)).astype(np.float32)
+        y[-8000:] += np.sin(2 * np.pi * 440 * np.arange(8000) / 16000
+                            ).astype(np.float32)
+        whole = np.asarray(featuregram(
+            jnp.asarray(y)[None], feat_name="LogMelHarmPercSpec",
+            n_mels=120, use_pallas=use_pallas)[0])
+        got = featuregram_slabbed(
+            y, feat_name="LogMelHarmPercSpec", n_mels=120,
+            slab_frames=slab, use_pallas=use_pallas)
+        row = {"seconds": n_sec, "slab_frames": slab,
+               "use_pallas": use_pallas,
+               "max_abs_db": max_abs(got, whole),
+               "clamp_bound": bool((whole == whole[:120].max() - 80.0).any()
+                                   or (whole == whole[120:].max() - 80.0
+                                       ).any())}
+        results["slabbed_cases"].append(row)
+        # Bar: 0.05 dB — the same dB-domain gate as the bf16x3 frontend
+        # (slab windows re-run the same kernel; only inter-program
+        # rounding and clamp-floor ulps differ).
+        ok &= row["max_abs_db"] < 0.05
+        print(f"slabbed sec={n_sec} slab={slab}: "
+              f"max_abs_db={row['max_abs_db']:.4f} "
+              f"clamp_bound={row['clamp_bound']}")
+
     results["pass"] = bool(ok)
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
