@@ -59,7 +59,8 @@ def ensure_corpus(root: str, n_music: int = N_MUSIC,
     return root
 
 
-def run_pipeline(root: str, pipeline: str, epochs: int) -> dict:
+def run_pipeline(root: str, pipeline: str, epochs: int,
+                 model: str = "Lemaire_et_al_MTL") -> dict:
     import jax
 
     # SCALE_REHEARSAL_PLATFORM=cpu pins children to CPU (smoke tests /
@@ -72,11 +73,13 @@ def run_pipeline(root: str, pipeline: str, epochs: int) -> dict:
     from sm_hpss_mtl_tpu.cli.experiment import run_experiment
     from sm_hpss_mtl_tpu.train import ExperimentConfig
 
+    tag = pipeline if model == "Lemaire_et_al_MTL" else \
+        f"{pipeline}_{model}"
     cfg = ExperimentConfig(
-        model="Lemaire_et_al_MTL", data_root=root,
-        feature_dir=os.path.join(root, "features_" + pipeline
+        model=model, data_root=root,
+        feature_dir=os.path.join(root, "features_" + tag
                                  if pipeline == "device" else "features"),
-        output_dir=os.path.join(root, "results_" + pipeline),
+        output_dir=os.path.join(root, "results_" + tag),
         epochs=epochs, batch_size=16, patch_size=68, patch_shift=68,
         pipeline=pipeline, seed=0)
     t0 = time.time()
@@ -99,6 +102,7 @@ def run_pipeline(root: str, pipeline: str, epochs: int) -> dict:
     fit = out["fit"]
     row = {
         "pipeline": pipeline,
+        "model": model,
         "tr_steps": cfg_steps.tr_steps, "v_steps": cfg_steps.v_steps,
         "ts_steps": cfg_steps.ts_steps,
         "corpus_hours": round(sum(
@@ -131,6 +135,12 @@ def main(argv=None):
     p.add_argument("--root", default="/tmp/scale_r4")
     p.add_argument("--epochs", type=int, default=50)
     p.add_argument("--pipelines", nargs="*", default=["host", "device"])
+    p.add_argument("--model", default="Lemaire_et_al_MTL",
+                   help="model family for this rehearsal (VERDICT r4 "
+                        "next #4 adds a CNN fold: e.g. Doukhan_et_al_MTL)")
+    p.add_argument("--merge", action="store_true",
+                   help="merge rows into an existing --out report "
+                        "instead of overwriting it")
     p.add_argument("--n-music", type=int, default=N_MUSIC)
     p.add_argument("--n-speech", type=int, default=N_SPEECH)
     p.add_argument("--dur-scale", type=float, default=1.0,
@@ -141,7 +151,7 @@ def main(argv=None):
     ensure_corpus(args.root, args.n_music, args.n_speech, args.dur_scale)
 
     if args.child:
-        run_pipeline(args.root, args.child, args.epochs)
+        run_pipeline(args.root, args.child, args.epochs, args.model)
         return
 
     env = dict(os.environ)
@@ -158,10 +168,13 @@ def main(argv=None):
                   "per-epoch wall clock from the fold log; sustained "
                   "steps/s = tr_steps / median warm-epoch time"),
               "pipelines": {}}
+    if args.merge and os.path.exists(args.out):
+        with open(args.out) as f:
+            report["pipelines"] = json.load(f).get("pipelines", {})
     for pipeline in args.pipelines:
         cmd = [sys.executable, os.path.abspath(__file__), "--child",
                pipeline, "--root", args.root, "--epochs",
-               str(args.epochs)]
+               str(args.epochs), "--model", args.model]
         proc = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
                               text=True, timeout=14000)
         if proc.returncode != 0:
@@ -169,7 +182,9 @@ def main(argv=None):
                                f"{proc.stdout[-3000:]}\n"
                                f"{proc.stderr[-3000:]}")
         row = json.loads(proc.stdout.strip().splitlines()[-1])
-        report["pipelines"][pipeline] = row
+        key = (pipeline if args.model == "Lemaire_et_al_MTL"
+               else f"{pipeline}_{args.model}")
+        report["pipelines"][key] = row
         print(pipeline, "->", {k: row[k] for k in
                                ("epochs_run", "first_epoch_s",
                                 "warm_epoch_s_median",
