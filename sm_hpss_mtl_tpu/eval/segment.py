@@ -169,17 +169,29 @@ class StreamingSegmenter:
         wins = sliding_window_view(seg, W, axis=1)   # (D, count, W)
         return np.ascontiguousarray(np.moveaxis(wins, 1, 0))  # (count, D, W)
 
-    def frame_probabilities(self, fv: np.ndarray) -> dict:
+    def frame_probabilities(self, fv) -> dict:
         """``fv``: (D, T) featuregram -> dict of per-window probability
-        tracks (length T - patch_size + 1)."""
+        tracks (length T - patch_size + 1).
+
+        ``fv`` may be a host array or a ``jax.Array`` (e.g. from
+        ``featuregram_slabbed(device_out=True)``); the scan driver keeps
+        a device featuregram resident — the TPU-native serving chain
+        then ships only raw audio up and probability tracks down.  The
+        plain-loop driver extracts windows host-side, so it fetches a
+        device featuregram once."""
+        is_dev = isinstance(fv, jax.Array)
         if self._scope() == "featuregram":
-            fv = np.asarray(self._standardize_parts(fv))
+            fv = self._standardize_parts(fv)
+            if not is_dev:
+                fv = np.asarray(fv)
         D, T = fv.shape
         n_windows = T - self.patch_size + 1
         if n_windows <= 0:
             raise ValueError("featuregram shorter than one window")
         if self.use_scan:
             return self._frame_probabilities_scan(fv, n_windows)
+        if is_dev:
+            fv = np.asarray(fv)
 
         chunk = min(self.chunk_frames, n_windows)
         tracks: dict[str, list] = {}
@@ -202,8 +214,7 @@ class StreamingSegmenter:
             start += count
         return {k: np.concatenate(v, axis=0) for k, v in tracks.items()}
 
-    def _frame_probabilities_scan(self, fv: np.ndarray, n_windows: int
-                                  ) -> dict:
+    def _frame_probabilities_scan(self, fv, n_windows: int) -> dict:
         """One ``lax.scan`` over slabs: the entire recording's dense
         prediction is a single XLA program (one dispatch, weights stay
         resident, no host round-trips between slabs).
@@ -222,7 +233,8 @@ class StreamingSegmenter:
         # Edge-pad time so every slab is full width; the surplus windows
         # are trimmed after the scan, so the pad values never escape.
         T_pad = n_slabs * chunk + W - 1
-        fvp = np.pad(fv, ((0, 0), (0, T_pad - T)), mode="edge")
+        xp = jnp if isinstance(fv, jax.Array) else np
+        fvp = xp.pad(fv, ((0, 0), (0, T_pad - T)), mode="edge")
 
         def program(fv_dev):
             starts = jnp.arange(n_slabs) * chunk

@@ -163,7 +163,8 @@ def featuregram_slabbed(y, *, feat_name: str, slab_frames: int = 16384,
                         n_mels: int = 120, l_harm: int = 21,
                         l_perc: int = 11, use_pallas: bool = False,
                         dft_precision: str = "bf16x3",
-                        top_db: float | None = 80.0) -> np.ndarray:
+                        top_db: float | None = 80.0,
+                        device_out: bool = False):
     """Serving-path featuregram for one long recording: fixed-shape slab
     programs instead of one broadcast-length program.
 
@@ -190,8 +191,13 @@ def featuregram_slabbed(y, *, feat_name: str, slab_frames: int = 16384,
     end: per D/2-row component block for HarmPerc features, globally
     for single-component ones.
 
-    Returns a host ``numpy`` array ``(D, T)`` — serving output is
-    consumed host-side (``StreamingSegmenter`` re-slabs it).
+    Returns a host ``numpy`` array ``(D, T)`` by default — serving
+    output is consumed host-side (``StreamingSegmenter`` re-slabs it).
+    With ``device_out=True`` the slabs are assembled on DEVICE and a
+    ``jax.Array`` is returned: the TPU-native serving chain
+    (featurize -> scan segmenter) then never ships the featuregram over
+    the host link — only raw audio goes up and probability tracks come
+    down (``tools/bench_serving.py`` ``serve_dev`` leg).
 
     Reference serving path (featurizes whole multi-hour broadcasts in
     one librosa call): DAFx12_Speech_Music_Detection_B3_MTL_v2.py:634-676.
@@ -209,15 +215,17 @@ def featuregram_slabbed(y, *, feat_name: str, slab_frames: int = 16384,
               win_length=win_length, hop_length=hop_length,
               n_mels=n_mels, l_harm=l_harm, l_perc=l_perc,
               use_pallas=use_pallas, dft_precision=dft_precision)
+    xp = jnp if device_out else np
     if T <= S + margin:
-        return np.asarray(featuregram(jnp.asarray(y)[None],
-                                      top_db=top_db, **kw)[0])
+        whole = featuregram(jnp.asarray(y)[None], top_db=top_db, **kw)[0]
+        return whole if device_out else np.asarray(whole)
 
     y = np.asarray(y)
 
     def window(f0, f1):
         seg = jnp.asarray(y[f0 * hop:(f1 - 1) * hop + n_fft])
-        return np.asarray(featuregram(seg[None], top_db=None, **kw)[0])
+        out = featuregram(seg[None], top_db=None, **kw)[0]
+        return out if device_out else np.asarray(out)
 
     parts = [window(0, S + margin)[:, :S]]              # true left edge
     n_cores = -(-T // S)
@@ -227,7 +235,7 @@ def featuregram_slabbed(y, *, feat_name: str, slab_frames: int = 16384,
     tail = T - (n_cores - 1) * S                        # in (0, S]
     w = window(T - S - margin, T)                       # true right edge
     parts.append(w[:, S + margin - tail:])
-    fv = np.concatenate(parts, axis=-1)
+    fv = xp.concatenate(parts, axis=-1)
     if log and top_db is not None:
         if harm and perc:
             # Two-component features ([H; P] stacked on the row axis):
@@ -238,10 +246,11 @@ def featuregram_slabbed(y, *, feat_name: str, slab_frames: int = 16384,
             # 5_class_classification.py:363-365), so each D/2-row block
             # is clamped by its OWN global max here.
             half = fv.shape[0] // 2
-            for blk in (fv[:half], fv[half:]):
-                np.maximum(blk, blk.max() - np.float32(top_db), out=blk)
+            fv = xp.concatenate(
+                [xp.maximum(blk, blk.max() - np.float32(top_db))
+                 for blk in (fv[:half], fv[half:])], axis=0)
         else:
-            fv = np.maximum(fv, fv.max() - np.float32(top_db))
+            fv = xp.maximum(fv, fv.max() - np.float32(top_db))
     return fv
 
 

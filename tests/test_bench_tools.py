@@ -118,10 +118,11 @@ def test_bench_frontend_roofline_row():
 
 
 def test_bench_serving_child_rows(capsys):
-    """featurize / loop / scan legs on a seconds-scale broadcast."""
+    """featurize / loop / scan / serve_dev legs on a seconds-scale
+    broadcast."""
     from tools.bench_serving import run_child
     hours = 30.0 / 3600.0  # 30 s of audio
-    for leg in ("featurize", "loop", "scan"):
+    for leg in ("featurize", "loop", "scan", "serve_dev"):
         row = run_child(leg, hours, repeats=1)
         out_row = json.loads(capsys.readouterr().out.strip()
                              .splitlines()[-1])

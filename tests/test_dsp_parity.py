@@ -270,3 +270,24 @@ def test_featuregram_slabbed_global_clamp(feat_name):
     # nondeterminism (5.8e-4 relative in power, well under the 1e-3
     # parity bar), not a clamp or seam bug.
     np.testing.assert_allclose(got, whole, rtol=1e-4, atol=5e-3)
+
+
+@pytest.mark.parametrize("feat_name", ["LogMelHarmPercSpec", "LogMelSpec"])
+def test_featuregram_slabbed_device_out(feat_name):
+    # device_out=True assembles the featuregram ON DEVICE (the
+    # TPU-native serving chain hands it straight to the scan
+    # segmenter); it must match the host-path output exactly,
+    # including the deferred per-component clamp (quiet-plus-burst
+    # signal so the clamp binds).
+    import jax
+    rng = np.random.default_rng(5)
+    y = (1e-6 * rng.standard_normal(N_FFT + 699 * HOP)).astype(np.float32)
+    y[-4000:] += np.sin(2 * np.pi * 440 * np.arange(4000) / FS).astype(
+        np.float32)
+    host = fg.featuregram_slabbed(y, feat_name=feat_name, n_mels=40,
+                                  slab_frames=256)
+    dev = fg.featuregram_slabbed(y, feat_name=feat_name, n_mels=40,
+                                 slab_frames=256, device_out=True)
+    assert isinstance(host, np.ndarray)
+    assert isinstance(dev, jax.Array)
+    np.testing.assert_allclose(np.asarray(dev), host, rtol=0, atol=1e-6)

@@ -143,6 +143,30 @@ def test_streaming_segmenter_chunk_scope_standardization():
     np.testing.assert_allclose(p_chunk, p_scan, atol=1e-5)
 
 
+def test_streaming_segmenter_device_featuregram():
+    """A jax.Array featuregram (featuregram_slabbed(device_out=True) —
+    the TPU-native serving chain) must produce the same tracks as the
+    host array through BOTH drivers, with standardization on (the
+    production default)."""
+    rng = np.random.default_rng(7)
+    D, T, W = 6, 337, 16
+
+    def fake_predict(batch):  # (B, W, D)
+        s = 5.0 * jnp.mean(batch, axis=(1, 2))
+        return {"S": jax.nn.sigmoid(s)[:, None]}
+
+    fv = rng.standard_normal((D, T)).astype(np.float32)
+    for scan in (False, True):
+        for scope in (True, "featuregram"):
+            kw = dict(predict_fn=fake_predict, patch_size=W,
+                      chunk_frames=100, feat_name="LogMelSpec",
+                      standardize=scope, use_scan=scan)
+            t_host = StreamingSegmenter(**kw).frame_probabilities(fv)
+            t_dev = StreamingSegmenter(**kw).frame_probabilities(
+                jnp.asarray(fv))
+            np.testing.assert_allclose(t_host["S"], t_dev["S"], atol=1e-6)
+
+
 def test_streaming_segmenter_scan_mel_time_kind():
     rng = np.random.default_rng(2)
     D, T, W = 4, 96, 8

@@ -56,15 +56,18 @@ def broadcast_audio(hours: float) -> np.ndarray:
     return (0.3 * tones * gate + 0.2 * noise * (1 - gate)).astype(np.float32)
 
 
-def featuregram_of(audio: np.ndarray) -> np.ndarray:
+def featuregram_of(audio: np.ndarray, device_out: bool = False):
     # Serving featurization = the slabbed fixed-shape path (at most two
     # compiled programs per config regardless of broadcast length; the
     # whole-signal featuregram would pay a fresh multi-second XLA
     # compile per distinct duration — 27 s measured at 0.5 h).
+    # device_out keeps the featuregram on the chip for the fused
+    # serve_dev leg (only audio goes up, probabilities come down).
     from sm_hpss_mtl_tpu.ops.featuregram import featuregram_slabbed
     return featuregram_slabbed(
         np.asarray(audio, np.float32), feat_name="LogMelHarmPercSpec",
-        n_mels=N_MELS, use_pallas=jax.default_backend() == "tpu")
+        n_mels=N_MELS, use_pallas=jax.default_backend() == "tpu",
+        device_out=device_out)
 
 
 def make_segmenter(use_scan: bool):
@@ -126,6 +129,21 @@ def run_child(leg: str, hours: float, repeats: int):
         n_frames = 1 + (len(audio) - 400) // HOP
         # Bytes this leg moves over the link per pass: audio up, fv down.
         link = _link_probe(audio.nbytes, 2 * N_MELS * n_frames * 4)
+    elif leg == "serve_dev":
+        # The TPU-native end-to-end serving chain: slab-featurize with
+        # the featuregram assembled ON DEVICE, scan segmentation over
+        # the resident array, fetch only the probability tracks.  Link
+        # traffic per pass = raw audio up + (n_windows, heads) down.
+        seg = make_segmenter(use_scan=True)
+
+        def once():
+            fv = featuregram_of(audio, device_out=True)
+            tracks = seg.frame_probabilities(fv)
+            return {k: float(np.sum(v)) for k, v in tracks.items()}
+        first, warm = timed(once, repeats)
+        n_frames = 1 + (len(audio) - 400) // HOP
+        n_windows = n_frames - W + 1
+        link = _link_probe(audio.nbytes, n_windows * 5 * 4)
     else:
         seg = make_segmenter(use_scan=(leg == "scan"))
         fv = featuregram_of(audio)

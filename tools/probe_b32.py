@@ -17,6 +17,14 @@ shape change recovers it:
 * ``whole`` vs ``time{1,2}`` vs ``batch{8,16}`` legs at 32x30: the
   public path with time-segment sub-calls (chunk_tiles) vs
   batch-segment sub-calls vs the single (32, 4) grid.
+* candidate-fix legs: ``prep_halos_ss`` / ``prep_full_ss`` build the
+  halo array with ONE pad+reshape+slice (layout-preserving strided
+  copy) instead of the nT-slice python ``jnp.stack``; ``prep_full_bar``
+  keeps the stack but puts an ``optimization_barrier`` between the
+  superblock materialization and the halo extraction (testing whether
+  the cost is a fusion cliff between the two).  ``whole_ss`` /
+  ``time4_ss`` run the real frontend end-to-end with the strided-slice
+  prep monkeypatched in.
 
 Same methodology as bench_frontend: each leg in its own subprocess,
 rounds interleaved, chained-iteration timing.
@@ -52,9 +60,41 @@ def audio_for(geom):
         rng.standard_normal((B, int(seconds * 16000))).astype(np.float32))
 
 
+def _superblocks_ss(y, *, T, tile_t, hop, J, ht, halo_in_audio=False):
+    """``_audio_superblocks`` with the halo stack replaced by one
+    pad+reshape+slice: rows ``[(t+1)*tile_t, (t+1)*tile_t + tail_pad)``
+    of ``sb`` are exactly rows ``[t*tile_t, t*tile_t + tail_pad)`` of
+    ``sb[:, tile_t:]``, so padding that shifted view to ``nT*tile_t``
+    rows and reshaping ``(B, nT, tile_t, hop)`` makes the halo of every
+    tile the leading ``tail_pad`` rows of its chunk — one strided copy,
+    no per-tile ``jnp.stack``."""
+    B, N = y.shape
+    nT = -(-T // tile_t)
+    tail = 2 * ht + J - 1
+    tail_pad = 8 * -(-tail // 8)
+    NSB = nT * tile_t + tail_pad
+    pad_l = 0 if halo_in_audio else ht * hop
+    pad_r = NSB * hop - pad_l - N
+    yp = jnp.pad(y.astype(jnp.float32), ((0, 0), (pad_l, pad_r)))
+    sb = yp.reshape(B, NSB, hop)
+    if tail_pad <= tile_t:
+        shifted = jnp.pad(sb[:, tile_t:],
+                          ((0, 0), (0, tile_t - tail_pad), (0, 0)))
+        halos = shifted.reshape(B, nT, tile_t, hop)[:, :, :tail_pad]
+    else:   # tiny-tile fallback: the original per-tile stack
+        halos = jnp.stack(
+            [sb[:, (t + 1) * tile_t:(t + 1) * tile_t + tail_pad]
+             for t in range(nT)], axis=1)
+    return sb, halos, nT, tile_t + tail_pad
+
+
 def leg_step(leg: str, geom: str):
     from sm_hpss_mtl_tpu.ops import frontend_pallas as fp
     from sm_hpss_mtl_tpu.ops.mel import mel_filterbank
+
+    if leg.endswith("_ss"):
+        fp._audio_superblocks = _superblocks_ss
+        leg = leg[:-len("_ss")]
 
     y = audio_for(geom)
     B, seconds = GEOMETRIES[geom]
@@ -100,6 +140,16 @@ def leg_step(leg: str, geom: str):
             def step(a):
                 sb, halos, _, _ = fp._audio_superblocks(
                     a, T=T, tile_t=tile, hop=HOP, J=J, ht=ht)
+                return a * (1.0 + 1e-12 * (jnp.sum(sb) + jnp.sum(halos)))
+        elif leg == "prep_full_bar":
+            @jax.jit
+            def step(a):
+                yp = jnp.pad(a, ((0, 0), (pad_l, pad_r)))
+                sb = yp.reshape(a.shape[0], NSB, HOP)
+                sb = jax.lax.optimization_barrier(sb)
+                halos = jnp.stack(
+                    [sb[:, (t + 1) * tile:(t + 1) * tile + tail_pad]
+                     for t in range(nT)], axis=1)
                 return a * (1.0 + 1e-12 * (jnp.sum(sb) + jnp.sum(halos)))
         else:
             raise ValueError(leg)
@@ -167,10 +217,13 @@ def main(argv=None):
         return
 
     legs = [(leg, geom) for geom, leg in itertools.product(
-        GEOMETRIES, ("prep_pad", "prep_sb", "prep_halos", "prep_full"))]
+        GEOMETRIES, ("prep_pad", "prep_sb", "prep_halos", "prep_full",
+                     "prep_full_bar", "prep_full_ss"))]
     legs += [(leg, "32x30") for leg in
-             ("whole", "time1", "time2", "time4", "batch8", "batch16")]
-    legs += [("time2", "16x120"), ("time4", "16x120"), ("whole", "16x30")]
+             ("whole", "time1", "time2", "time4", "batch8", "batch16",
+              "whole_ss")]
+    legs += [("time2", "16x120"), ("time4", "16x120"), ("whole", "16x30"),
+             ("time4_ss", "16x120"), ("whole_ss", "16x30")]
 
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
