@@ -100,22 +100,43 @@ def timed(fn, repeats: int):
     return first, warm
 
 
-def _link_probe(nbytes_up: int, nbytes_down: int) -> dict:
+def _link_probe(nbytes_up: int, nbytes_down: int,
+                chunk_mb: float = 16.0) -> dict:
     """Host->device and device->host transfer times for the leg's actual
-    byte volumes, so the report can split chip rate from link rate (the
-    sandbox tunnel measured ~35 MB/s; a co-located TPU host moves these
-    bytes over PCIe at GB/s — SCALE_r4.json 'diagnosis')."""
-    x_up = np.zeros(max(nbytes_up // 4, 1), np.float32)
-    t0 = time.perf_counter()
-    dev = jnp.asarray(x_up)
-    float(dev[-1])                       # force arrival
-    up_s = time.perf_counter() - t0
-    dev_dn = jnp.zeros(max(nbytes_down // 4, 1), jnp.float32) + 1.0
-    float(dev_dn[-1])                    # force materialization
-    t0 = time.perf_counter()
-    np.asarray(dev_dn)
-    dn_s = time.perf_counter() - t0
-    return {"link_up_s": round(up_s, 3), "link_down_s": round(dn_s, 3)}
+    byte volumes, so the report can split chip rate from link rate (a
+    co-located TPU host moves these bytes over PCIe at GB/s —
+    SCALE_r4.json 'diagnosis').
+
+    Probed at SLAB granularity (~16 MiB chunks, min of 3, scaled to the
+    leg's volume): the legs move data slab-by-slab, and the tunnel's
+    one-shot rate for multi-100 MB arrays (~7 MB/s) is far below the
+    pipelined per-slab rate the passes actually sustain (~50 MB/s) —
+    the round-0 one-shot probe overestimated link time beyond the
+    measured whole-pass wall clock."""
+    def rate(nbytes: int, transfer) -> float:
+        if nbytes <= 0:
+            return 0.0
+        n = max(nbytes // 4, 1)
+        chunk = min(max(int(chunk_mb * (1 << 20)) // 4, 1), n)
+        t_chunk = min(transfer(chunk) for _ in range(3))
+        return t_chunk * (n / chunk)
+
+    def up(n):
+        x = np.zeros(n, np.float32)
+        t0 = time.perf_counter()
+        d = jnp.asarray(x)
+        float(d[-1])                     # force arrival
+        return time.perf_counter() - t0
+
+    def down(n):
+        d = jnp.zeros(n, jnp.float32) + 1.0
+        float(d[-1])                     # force materialization
+        t0 = time.perf_counter()
+        np.asarray(d)
+        return time.perf_counter() - t0
+
+    return {"link_up_s": round(rate(nbytes_up, up), 3),
+            "link_down_s": round(rate(nbytes_down, down), 3)}
 
 
 def run_child(leg: str, hours: float, repeats: int):
@@ -172,8 +193,11 @@ def run_child(leg: str, hours: float, repeats: int):
            "audio_h_per_s_median": round(hours / med, 3),
            "realtime_factor": round(hours * 3600 / best, 1),
            **link, "link_share": round(min(link_s / best, 1.0), 3),
-           "audio_h_per_s_ex_link": round(
-               hours / max(best - link_s, 1e-9), 3)}
+           # Chip-rate gauge; meaningless when the probe says the pass
+           # was ~all link (a co-located host would re-measure it).
+           "audio_h_per_s_ex_link": (
+               round(hours / (best - link_s), 3)
+               if best - link_s > 0.05 * best else None)}
     print(json.dumps(row))
     return row
 
@@ -237,10 +261,12 @@ def main(argv=None):
                   "rounds interleaved; shift-1 dense prediction at the "
                   "reference chunk size. link_* fields: measured "
                   "host<->device transfer time for the leg's actual "
-                  "byte volumes — this sandbox reaches the chip over a "
-                  "~35 MB/s tunnel, so audio_h_per_s_ex_link is the "
-                  "chip-rate gauge (a co-located TPU host moves the "
-                  "same bytes at GB/s)")}
+                  "byte volumes, probed at slab granularity (~16 MiB "
+                  "chunks — the tunnel sustains ~50 MB/s pipelined; "
+                  "one-shot multi-100MB transfers are far slower). "
+                  "audio_h_per_s_ex_link is the chip-rate gauge (a "
+                  "co-located TPU host moves the same bytes at GB/s); "
+                  "it is null when the pass was ~all link")}
     if args.merge and os.path.exists(args.out):
         with open(args.out) as f:
             report["legs"] = json.load(f).get("legs", {})
